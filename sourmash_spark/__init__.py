@@ -1,0 +1,33 @@
+"""sourmash_spark — a PySpark-native sketch/compare/search/gather engine for
+near-duplicate detection over large corpora (source code, documents).
+
+Design: DataFrame-first.  Sketching is one Arrow-batched vectorized UDF stage
+(narrow map, no shuffle); candidate generation is an inverted-index /
+LSH-band shuffle join; verification is array-function column expressions;
+clustering is iterative connected-components joins.  No RDDs, no per-row
+Python in hot paths.
+"""
+
+from .hashing import (
+    DEFAULT_SEED,
+    hash_murmur,
+    max_hash_for_scaled,
+    murmur3_x64_128,
+    murmur64_windows,
+)
+from .oracle import MinHash, sketch_text
+from .params import LSHParams, SketchParams
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFAULT_SEED",
+    "LSHParams",
+    "MinHash",
+    "SketchParams",
+    "hash_murmur",
+    "max_hash_for_scaled",
+    "murmur3_x64_128",
+    "murmur64_windows",
+    "sketch_text",
+]

@@ -1,0 +1,268 @@
+"""MurmurHash3 x64_128 and FracMinHash hash-space helpers.
+
+The reference engine (sourmash) hashes every k-shingle with the low 64 bits of
+MurmurHash3 x64_128 (Austin Appleby's public-domain algorithm) at seed 42, and
+keeps a hash ``h`` iff ``h <= max_hash`` where ``max_hash = (u64::MAX as f64 /
+scaled) as u64`` (see /root/reference/src/core/src/lib.rs:57-58 and
+/root/reference/src/core/src/sketch/minhash.rs:21-27 for the behavior we
+reproduce).  Spark's builtin ``hash()`` is murmur3_x86_32 and ``xxhash64`` is a
+different function entirely, so bit-parity requires our own implementation.
+
+Two implementations live here:
+
+* :func:`murmur3_x64_128` — scalar pure-Python, the *test oracle* (slow path).
+* :func:`murmur64_windows` — numpy-vectorized over the sliding k-byte windows
+  of a byte buffer, the *production path* used inside Arrow-batched pandas
+  UDFs.  No per-row Python: one call hashes every shingle of a document.
+
+u64 handling: hashes are computed as ``numpy.uint64`` and *stored* in Spark as
+their two's-complement ``int64`` bit pattern (``LongType``).  Arrays are kept
+sorted by **unsigned** value.  For scaled >= 2 every kept hash is < 2**63, so
+the signed and unsigned orders coincide and plain Spark comparisons are safe;
+num-mode (bottom-k over the full u64 space) sketches may contain values >=
+2**63 (negative as int64) and any order-sensitive operation must use
+:func:`u64_to_i64` / :func:`i64_to_u64` or stay inside a UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MASK64 = 0xFFFFFFFFFFFFFFFF
+DEFAULT_SEED = 42  # sourmash default murmur seed
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+# ---------------------------------------------------------------------------
+# scalar oracle
+# ---------------------------------------------------------------------------
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & MASK64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & MASK64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & MASK64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = DEFAULT_SEED) -> tuple[int, int]:
+    """Pure-Python MurmurHash3 x64_128; returns (h1, h2) as unsigned ints."""
+    h1 = seed & MASK64
+    h2 = seed & MASK64
+    length = len(data)
+    nblocks = length // 16
+
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+
+        k1 = (k1 * _C1) & MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & MASK64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & MASK64
+        h1 = (h1 * 5 + 0x52DCE729) & MASK64
+
+        k2 = (k2 * _C2) & MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & MASK64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & MASK64
+        h2 = (h2 * 5 + 0x38495AB5) & MASK64
+
+    tail = data[nblocks * 16 :]
+    tl = len(tail)
+    k1 = 0
+    k2 = 0
+    if tl > 8:
+        for i in range(tl - 1, 7, -1):
+            k2 = (k2 << 8) | tail[i]
+        k2 = (k2 * _C2) & MASK64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & MASK64
+        h2 ^= k2
+    if tl > 0:
+        for i in range(min(tl, 8) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[i]
+        k1 = (k1 * _C1) & MASK64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & MASK64
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & MASK64
+    h2 = (h2 + h1) & MASK64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & MASK64
+    h2 = (h2 + h1) & MASK64
+    return h1, h2
+
+
+def hash_murmur(data: bytes | str, seed: int = DEFAULT_SEED) -> int:
+    """Low 64 bits of murmur3_x64_128 — parity with the reference's
+    ``hash_murmur`` (pinned: hash_murmur(b"ACG", 42) == 1731421407650554201)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return murmur3_x64_128(data, seed)[0]
+
+
+# ---------------------------------------------------------------------------
+# vectorized production path
+# ---------------------------------------------------------------------------
+
+def _read_u64_cols(win: np.ndarray, off: int) -> np.ndarray:
+    """Little-endian uint64 from 8 consecutive byte columns of (N, L) uint8."""
+    block = np.ascontiguousarray(win[:, off : off + 8])
+    return block.view("<u8").ravel()
+
+
+def _tail_u64(win: np.ndarray, off: int, nbytes: int) -> np.ndarray:
+    """Little-endian uint from `nbytes` (<8) byte columns starting at off."""
+    out = np.zeros(win.shape[0], dtype=np.uint64)
+    for i in range(nbytes - 1, -1, -1):
+        out = (out << np.uint64(8)) | win[:, off + i].astype(np.uint64)
+    return out
+
+
+def _rotl64_vec(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> np.uint64(64 - int(r)))
+
+
+def _fmix64_vec(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> np.uint64(33))
+    return k
+
+
+def murmur64_fixed(windows: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Vectorized murmur3_x64_128 low-64 over an (N, L) uint8 array of
+    fixed-length keys.  Returns uint64[N]."""
+    if windows.ndim != 2:
+        raise ValueError("windows must be 2-D (N, L) uint8")
+    n, length = windows.shape
+    c1 = np.uint64(_C1)
+    c2 = np.uint64(_C2)
+    h1 = np.full(n, seed, dtype=np.uint64)
+    h2 = np.full(n, seed, dtype=np.uint64)
+
+    nblocks = length // 16
+    for b in range(nblocks):
+        k1 = _read_u64_cols(windows, b * 16)
+        k2 = _read_u64_cols(windows, b * 16 + 8)
+
+        k1 = k1 * c1
+        k1 = _rotl64_vec(k1, 31)
+        k1 = k1 * c2
+        h1 = h1 ^ k1
+        h1 = _rotl64_vec(h1, 27)
+        h1 = h1 + h2
+        h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+
+        k2 = k2 * c2
+        k2 = _rotl64_vec(k2, 33)
+        k2 = k2 * c1
+        h2 = h2 ^ k2
+        h2 = _rotl64_vec(h2, 31)
+        h2 = h2 + h1
+        h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+
+    tl = length - nblocks * 16
+    off = nblocks * 16
+    if tl > 8:
+        k2 = _tail_u64(windows, off + 8, tl - 8)
+        k2 = k2 * c2
+        k2 = _rotl64_vec(k2, 33)
+        k2 = k2 * c1
+        h2 = h2 ^ k2
+    if tl > 0:
+        k1 = (
+            _read_u64_cols(windows, off)
+            if tl >= 8
+            else _tail_u64(windows, off, tl)
+        )
+        k1 = k1 * c1
+        k1 = _rotl64_vec(k1, 31)
+        k1 = k1 * c2
+        h1 = h1 ^ k1
+
+    ln = np.uint64(length)
+    h1 = h1 ^ ln
+    h2 = h2 ^ ln
+    h1 = h1 + h2
+    h2 = h2 + h1
+    h1 = _fmix64_vec(h1)
+    h2 = _fmix64_vec(h2)
+    h1 = h1 + h2
+    return h1
+
+
+def ascii_upper(buf: np.ndarray) -> np.ndarray:
+    """ASCII-uppercase a uint8 buffer in a copy — parity with the reference's
+    ``to_ascii_uppercase`` normalization before hashing (SeqToHashes)."""
+    out = buf.copy()
+    mask = (out >= 97) & (out <= 122)
+    out[mask] -= 32
+    return out
+
+
+def murmur64_windows(
+    data: bytes, k: int, seed: int = DEFAULT_SEED, uppercase: bool = True
+) -> np.ndarray:
+    """Hash every k-byte sliding window of ``data``; returns uint64[n-k+1]
+    in window order (empty array when len(data) < k)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if uppercase:
+        arr = ascii_upper(arr)
+    if arr.size < k:
+        return np.empty(0, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+    return murmur64_fixed(windows, seed)
+
+
+# ---------------------------------------------------------------------------
+# FracMinHash hash-space helpers
+# ---------------------------------------------------------------------------
+
+def max_hash_for_scaled(scaled: int) -> int:
+    """``(u64::MAX as f64 / scaled as f64) as u64`` — the Rust truncation
+    semantics (authoritative; the Python reference uses round() and can
+    differ by 1)."""
+    if scaled == 0:
+        return 0
+    if scaled == 1:
+        return MASK64
+    return min(MASK64, int(np.float64(MASK64) / np.float64(scaled)))
+
+
+def scaled_for_max_hash(max_hash: int) -> int:
+    if max_hash == 0:
+        return 0
+    return int(np.float64(MASK64) / np.float64(max_hash))
+
+
+def u64_to_i64(h):
+    """Bit-pattern reinterpret uint64 -> int64 (scalar or ndarray)."""
+    if isinstance(h, np.ndarray):
+        return h.astype(np.uint64).view(np.int64)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def i64_to_u64(h):
+    if isinstance(h, np.ndarray):
+        return h.astype(np.int64).view(np.uint64)
+    return h + (1 << 64) if h < 0 else h

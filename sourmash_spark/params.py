@@ -1,0 +1,79 @@
+"""Sketch configuration — the analog of the reference's ComputeParameters
+(/root/reference/src/sourmash/command_sketch.py:90-186, behavior only).
+
+``num`` and ``scaled`` are mutually exclusive (reference minhash.py:228-232).
+``moltype='code'`` means raw byte shingles over ASCII-uppercased content,
+which is the reference's protein hashing path applied to arbitrary text
+(signature.rs:366-370): no canonicalization, no alphabet validation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+from .hashing import DEFAULT_SEED, max_hash_for_scaled
+
+
+@dataclass(frozen=True)
+class SketchParams:
+    ksize: int = 21          # shingle window in characters
+    scaled: int = 200        # FracMinHash downsampling factor (0 => num mode)
+    num: int = 0             # bottom-k size (0 => scaled mode)
+    seed: int = DEFAULT_SEED
+    moltype: str = "code"
+    track_abundance: bool = False
+
+    def __post_init__(self):
+        if self.num and self.scaled:
+            raise ValueError("num and scaled are mutually exclusive")
+        if not self.num and not self.scaled:
+            raise ValueError("one of num/scaled is required")
+
+    @property
+    def max_hash(self) -> int:
+        return max_hash_for_scaled(self.scaled) if self.scaled else 0
+
+    @property
+    def md5_ksize(self) -> int:
+        """ksize as it appears in the sketch identity hash.  The reference's
+        protein path stores ksize*3 in the underlying sketch object (python
+        multiplies by 3 before FFI; minhash.py:237-247), and md5sum() writes
+        that stored value — we mirror it for the 'code' moltype."""
+        return self.ksize * 3 if self.moltype == "code" else self.ksize
+
+    def config_hash(self) -> str:
+        """Stable identity of this configuration — keys checkpoint tables."""
+        blob = json.dumps(
+            {
+                "ksize": self.ksize,
+                "scaled": self.scaled,
+                "num": self.num,
+                "seed": self.seed,
+                "moltype": self.moltype,
+                "abund": self.track_abundance,
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+@dataclass(frozen=True)
+class LSHParams:
+    """Banding params for the candidate stage.  With ``num_bands`` bands of
+    ``band_size`` rows each over the first num_bands*band_size sketch mins,
+    the S-curve capture probability at jaccard s is 1-(1-s^r)^b."""
+
+    num_bands: int = 16
+    band_size: int = 2
+    # shingles appearing in more than df_cap documents are dropped from the
+    # postings/banding stage (boilerplate guard); 0 disables.
+    df_cap: int = 0
+
+    def capture_probability(self, jaccard: float) -> float:
+        return 1.0 - (1.0 - jaccard**self.band_size) ** self.num_bands
+
+
+DEFAULT_PARAMS = SketchParams()
+DEFAULT_LSH = LSHParams()

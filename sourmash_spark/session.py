@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Settings chosen for the 100 TB target, not just local tests:
+* AQE on (runtime coalesce + skew-join splitting — boilerplate shingles and
+  giant repos create skewed band buckets).
+* Arrow execution for pandas UDFs (the sketch stage is Arrow-batched).
+* shuffle partitions sized from the environment (cluster deploys override).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sourmash_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SOURMASH_SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SOURMASH_SPARK_SHUFFLE_PARTITIONS", cpus)
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SOURMASH_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def add_pyfiles(spark: SparkSession) -> str:
+    """Ship this package to executors — the in-process stand-in for
+    ``spark-submit --py-files sourmash_spark.zip`` on a real cluster."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="sourmash_spark_pyfiles_")
+    zip_base = os.path.join(tmp, "sourmash_spark")
+    archive = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                  os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(archive)
+    return archive

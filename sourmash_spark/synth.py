@@ -1,0 +1,187 @@
+"""Deterministic synthetic `code_files` corpus + ground truth.
+
+Input-table shape per BASELINE.json input_hint:
+``code_files(repo string, path string, commit string, lang string,
+content string)`` — the analog of the reference's FASTA inputs.  The
+generator is fully seeded (numpy PCG64) so every run reproduces the same
+bytes, sha256 digests, and truth tables.
+
+Corpus structure (mirrors FIXTURES.md §1):
+* B base files built from a code-ish token grammar, 0.2–20 KB;
+* near-duplicates per base at character-mutation rates (0, 0.5%, 2%, 10%);
+* a shared boilerplate license header injected into ~half the files
+  (creates shingle skew — the mega-bucket hazard the LSH stage must absorb);
+* repo assignment is skewed: one "giant repo" owns a large share of files.
+
+Truth emitted alongside: ``truth_pairs(file_id_a, file_id_b, mutation_rate)``
+(clone pairs by construction) and ``truth_clusters(file_id, cluster_id)``
+(clone family id).  The *authoritative* recall oracle for tests is the
+pure-Python MinHash pipeline over this corpus, not these labels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+_KEYWORDS = (
+    "def class return if else elif for while import from try except raise "
+    "with as lambda yield assert pass break continue global del not and or "
+    "in is None True False self int str list dict set tuple print len range"
+).split()
+
+_IDENT_PARTS = (
+    "get set load save parse build make run exec eval count merge split "
+    "index hash key value node tree graph list map queue stack buffer "
+    "cache table row col file path data config util helper manager worker"
+).split()
+
+LICENSE_HEADER = (
+    "# Copyright (c) 2024 Example Project Authors. All rights reserved.\n"
+    "# Licensed under the Apache License, Version 2.0 (the 'License');\n"
+    "# you may not use this file except in compliance with the License.\n"
+    "# You may obtain a copy of the License at\n"
+    "#     http://www.apache.org/licenses/LICENSE-2.0\n"
+    "# Unless required by applicable law or agreed to in writing, software\n"
+    "# distributed under the License is distributed on an 'AS IS' BASIS,\n"
+    "# WITHOUT WARRANTIES OR CONDITIONS OF ANY KIND, either express or\n"
+    "# implied. See the License for the specific language governing\n"
+    "# permissions and limitations under the License.\n\n"
+)
+
+_LANGS = ["python", "java", "c", "js", "go"]
+
+
+def _ident(rng: np.random.Generator) -> str:
+    n = int(rng.integers(1, 4))
+    return "_".join(rng.choice(_IDENT_PARTS) for _ in range(n))
+
+
+def _line(rng: np.random.Generator) -> str:
+    style = int(rng.integers(0, 5))
+    if style == 0:
+        return f"def {_ident(rng)}({_ident(rng)}, {_ident(rng)}):"
+    if style == 1:
+        return f"    {_ident(rng)} = {_ident(rng)}({_ident(rng)}, {int(rng.integers(0, 1000))})"
+    if style == 2:
+        return f"    if {_ident(rng)} {rng.choice(['==', '!=', '<', '>='])} {int(rng.integers(0, 100))}:"
+    if style == 3:
+        return f"        return {_ident(rng)}[{_ident(rng)}] {rng.choice(['+', '-', '*'])} {int(rng.integers(1, 50))}"
+    return f"    # {rng.choice(_KEYWORDS)} {_ident(rng)} {rng.choice(_KEYWORDS)}"
+
+
+def _base_content(rng: np.random.Generator, target_len: int) -> str:
+    lines = []
+    size = 0
+    while size < target_len:
+        ln = _line(rng)
+        lines.append(ln)
+        size += len(ln) + 1
+    return "\n".join(lines) + "\n"
+
+
+def _mutate(rng: np.random.Generator, text: str, rate: float) -> str:
+    """Character-level substitutions at `rate` — a clean analog of sequence
+    mutation so the jaccard-vs-rate relationship follows the k-shingle
+    survival curve (1-rate)**k."""
+    if rate <= 0:
+        return text
+    arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).copy()
+    n_mut = int(len(arr) * rate)
+    if n_mut == 0:
+        return text
+    pos = rng.choice(len(arr), size=n_mut, replace=False)
+    arr[pos] = rng.integers(97, 123, size=n_mut, dtype=np.uint8)  # a-z
+    return arr.tobytes().decode("utf-8", errors="replace")
+
+
+@dataclass
+class SynthCorpus:
+    code_files: pd.DataFrame
+    truth_pairs: pd.DataFrame
+    truth_clusters: pd.DataFrame
+    digests: pd.DataFrame  # (file_id, sha256) recorded at generation time
+
+
+def synth_code_files(
+    n_base: int = 40,
+    dup_rates: tuple[float, ...] = (0.0, 0.005, 0.02, 0.10),
+    seed: int = 42,
+    min_len: int = 400,
+    max_len: int = 8000,
+    boilerplate_frac: float = 0.5,
+    n_repos: int = 10,
+    giant_repo_share: float = 0.3,
+) -> SynthCorpus:
+    rng = np.random.default_rng(seed)
+    rows = []
+    pairs = []
+    clusters = []
+    file_id = 0
+
+    for fam in range(n_base):
+        target = int(rng.integers(min_len, max_len))
+        base = _base_content(rng, target)
+        fam_ids: list[tuple[int, float]] = []
+        variants = [("base", 0.0, base)]
+        for rate in dup_rates:
+            if rate == 0.0:
+                # exact duplicate copy
+                variants.append(("exact", 0.0, base))
+            else:
+                variants.append((f"mut{rate}", rate, _mutate(rng, base, rate)))
+        for kind, rate, content in variants:
+            if rng.random() < boilerplate_frac:
+                content = LICENSE_HEADER + content
+            # skewed repo assignment: giant repo 0 takes `giant_repo_share`
+            if rng.random() < giant_repo_share:
+                repo_i = 0
+            else:
+                repo_i = int(rng.integers(1, n_repos))
+            lang = _LANGS[fam % len(_LANGS)]
+            rows.append(
+                {
+                    "file_id": file_id,
+                    "repo": f"org/repo-{repo_i:04d}",
+                    "path": f"src/fam_{fam}/{kind}_{file_id}.py",
+                    "commit": hashlib.sha1(
+                        f"{seed}:{repo_i}".encode()
+                    ).hexdigest(),
+                    "lang": lang,
+                    "content": content,
+                }
+            )
+            clusters.append({"file_id": file_id, "cluster_id": fam})
+            fam_ids.append((file_id, rate))
+            file_id += 1
+        for i in range(len(fam_ids)):
+            for j in range(i + 1, len(fam_ids)):
+                a, ra = fam_ids[i]
+                b, rb = fam_ids[j]
+                pairs.append(
+                    {
+                        "file_id_a": a,
+                        "file_id_b": b,
+                        "mutation_rate": max(ra, rb),
+                    }
+                )
+
+    code_files = pd.DataFrame(rows)
+    digests = pd.DataFrame(
+        {
+            "file_id": code_files["file_id"],
+            "sha256": [
+                hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in code_files["content"]
+            ],
+        }
+    )
+    return SynthCorpus(
+        code_files=code_files,
+        truth_pairs=pd.DataFrame(pairs),
+        truth_clusters=pd.DataFrame(clusters),
+        digests=digests,
+    )

@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from sourmash_spark.session import get_spark
+
+    s = get_spark("sourmash_spark_tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    from sourmash_spark.synth import synth_code_files
+
+    return synth_code_files(n_base=12, seed=42, min_len=300, max_len=2500)

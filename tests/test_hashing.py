@@ -1,0 +1,78 @@
+"""Kernel parity tests — pinned to the reference's published test values
+(/root/reference/tests/test_minhash.py:1240-1263, tests/test_jaccard.py:72-84)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sourmash_spark.hashing import (
+    hash_murmur,
+    i64_to_u64,
+    max_hash_for_scaled,
+    murmur3_x64_128,
+    murmur64_windows,
+    u64_to_i64,
+)
+
+
+def test_pinned_acg():
+    # reference: hash_murmur("ACG") == 1731421407650554201 at default seed 42
+    assert hash_murmur("ACG") == 1731421407650554201
+    assert hash_murmur(b"ACG", 42) == 1731421407650554201
+    assert hash_murmur("ACG", 43) != 1731421407650554201
+
+
+def test_pinned_dna_4mers():
+    # reference test_dna_mh: canonical 4-mers of this sequence contain these
+    def revcomp(s):
+        return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+    seq = "ATGGCAGTGACGATGCCAG"
+    hashes = {
+        hash_murmur(min(seq[i : i + 4], revcomp(seq[i : i + 4])))
+        for i in range(len(seq) - 3)
+    }
+    assert 726311917625663847 in hashes
+    assert 3697418565283905118 in hashes
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=64), st.integers(0, 2**32 - 1))
+def test_vectorized_matches_scalar(data: bytes, seed: int):
+    for k in (1, 5, 8, 16, 17, 21, 33):
+        if len(data) < k:
+            continue
+        vec = murmur64_windows(data, k, seed=seed, uppercase=False)
+        ref = np.array(
+            [murmur3_x64_128(data[i : i + k], seed)[0] for i in range(len(data) - k + 1)],
+            dtype=np.uint64,
+        )
+        assert np.array_equal(vec, ref)
+
+
+def test_uppercase_normalization():
+    assert np.array_equal(
+        murmur64_windows(b"abcXYZ123", 4), murmur64_windows(b"ABCxyz123", 4)
+    )
+
+
+def test_max_hash_rust_truncation():
+    # (u64::MAX as f64 / scaled) as u64 semantics
+    assert max_hash_for_scaled(0) == 0
+    assert max_hash_for_scaled(1) == 2**64 - 1
+    assert max_hash_for_scaled(2) == 2**63  # f64(u64MAX)=2^64 exactly; /2 = 2^63
+    assert max_hash_for_scaled(1000) == 18446744073709552
+    assert max_hash_for_scaled(200) == 92233720368547760
+
+
+@given(st.integers(0, 2**64 - 1))
+def test_u64_i64_roundtrip(h: int):
+    assert i64_to_u64(u64_to_i64(h)) == h
+
+
+def test_u64_i64_arrays():
+    a = np.array([1, 2**63, 2**64 - 1], dtype=np.uint64)
+    back = i64_to_u64(u64_to_i64(a))
+    assert np.array_equal(back, a)

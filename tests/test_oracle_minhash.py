@@ -1,0 +1,152 @@
+"""Oracle MinHash semantics — pinned to the reference's kernel tests
+(tests/test_jaccard.py:16-69, test_minhash.py) and hypothesis invariants
+(tests/test__minhash_hypothesis.py)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sourmash_spark.hashing import max_hash_for_scaled
+from sourmash_spark.oracle import MinHash
+from sourmash_spark.params import SketchParams
+from sourmash_spark.oracle import sketch_text
+
+
+def _num_mh(vals, num=5, track=False):
+    mh = MinHash(ksize=20, scaled=0, num=num, track_abundance=track)
+    mh.add_many(vals)
+    return mh
+
+
+@pytest.mark.parametrize("track", [False, True])
+def test_jaccard_num_mode(track):
+    # reference test_jaccard_1: union truncated to num -> 4/5
+    e1 = _num_mh([1, 2, 3, 4, 5], track=track)
+    e2 = _num_mh([1, 2, 3, 4, 6], track=track)
+    assert round(e1.jaccard(e2), 2) == round(4 / 5.0, 2)
+    assert round(e2.jaccard(e1), 2) == round(4 / 5.0, 2)
+
+
+def test_jaccard_num_mode_difflen():
+    # reference test_jaccard_2_difflen
+    e1 = _num_mh([1, 2, 3, 4, 5])
+    e2 = _num_mh([1, 2, 3, 4])
+    assert round(e1.jaccard(e2), 2) == 4 / 5.0
+    assert round(e2.jaccard(e1), 2) == 4 / 5.0
+
+
+def test_count_common_and_seed_mismatch():
+    e1 = _num_mh([1, 2, 3, 4, 5])
+    e2 = _num_mh([1, 2, 3, 4, 6])
+    assert e1.count_common(e2) == 4
+    bad = MinHash(ksize=20, scaled=0, num=5, seed=1)
+    bad.add_many([1, 2, 3])
+    with pytest.raises(ValueError):
+        e1.count_common(bad)
+
+
+def test_scaled_jaccard_plain_union():
+    a = MinHash(ksize=21, scaled=2)
+    b = MinHash(ksize=21, scaled=2)
+    a.add_many([1, 2, 3, 4, 5])
+    b.add_many([1, 2, 3, 4, 6])
+    assert a.jaccard(b) == 4 / 6
+
+
+def test_scaled_filter_invariant():
+    mh = MinHash(ksize=21, scaled=1000)
+    vals = [10, max_hash_for_scaled(1000), max_hash_for_scaled(1000) + 1, 2**64 - 1]
+    mh.add_many(vals)
+    assert set(mh.mins) == {10, max_hash_for_scaled(1000)}
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**64 - 1), max_size=200),
+    st.sampled_from([100, 1000, 10_000]),
+)
+def test_scaled_keeps_exactly_filtered(hashes, scaled):
+    # hypothesis invariant mirrored from the reference's property tests
+    mh = MinHash(ksize=21, scaled=scaled)
+    mh.add_many(hashes)
+    expect = {h for h in hashes if h <= max_hash_for_scaled(scaled)}
+    assert set(mh.mins) == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=200), st.integers(1, 50))
+def test_num_keeps_bottom_k(hashes, num):
+    mh = MinHash(ksize=21, scaled=0, num=num)
+    mh.add_many(hashes)
+    assert mh.mins == sorted(set(hashes))[:num]
+
+
+def test_downsample_chain_equals_direct():
+    text = "def f(x):\n    return x + 1\n" * 50
+    s200 = sketch_text(text, SketchParams(ksize=21, scaled=200))
+    s1000_direct = sketch_text(text, SketchParams(ksize=21, scaled=1000))
+    assert s200.downsample(scaled=1000).mins == s1000_direct.mins
+    with pytest.raises(ValueError):
+        s200.downsample(scaled=100)  # upsample forbidden
+
+
+def test_merge_abundance_and_num_truncation():
+    a = MinHash(ksize=20, scaled=0, num=3, track_abundance=True)
+    b = MinHash(ksize=20, scaled=0, num=3, track_abundance=True)
+    a.add_many([1, 5, 9])
+    b.add_many([1, 2, 9])
+    a.merge(b)
+    assert a.mins == [1, 2, 5]  # truncated to num=3
+    assert a.hashes[1] == 2  # summed abundance
+
+def test_containment_bias_factor():
+    a = MinHash(ksize=21, scaled=10)
+    b = MinHash(ksize=21, scaled=10)
+    a.add_many([1, 2, 3, 4])
+    b.add_many([1, 2, 3, 4, 5, 6, 7, 8])
+    bias = 1.0 - (1.0 - 1.0 / 10) ** (4 * 10)
+    assert a.contained_by(b) == min(1.0, 4 / (4 * bias))
+    assert a.max_containment(b) == min(1.0, 4 / (4 * bias))
+    assert b.contained_by(a) == 4 / (8 * (1.0 - (1.0 - 0.1) ** 80))
+    assert a.avg_containment(b) == (a.contained_by(b) + b.contained_by(a)) / 2
+
+
+def test_angular_similarity_identical_and_disjoint():
+    a = MinHash(ksize=20, scaled=2, track_abundance=True)
+    b = MinHash(ksize=20, scaled=2, track_abundance=True)
+    for h in [1, 1, 2, 3]:
+        a.add_hash(h)
+        b.add_hash(h)
+    assert a.angular_similarity(b) == pytest.approx(1.0)
+    c = MinHash(ksize=20, scaled=2, track_abundance=True)
+    c.add_many([7, 8])
+    assert a.angular_similarity(c) == 0.0
+    assert a.similarity(c, ignore_abundance=True) == 0.0
+
+
+def test_md5sum_format():
+    # identity = md5(str(ksize*3 for code moltype) + decimal mins)
+    import hashlib
+
+    mh = MinHash(ksize=21, scaled=2)
+    mh.add_many([5, 3])
+    ctx = hashlib.md5()
+    ctx.update(b"63")
+    ctx.update(b"3")
+    ctx.update(b"5")
+    assert mh.md5sum() == ctx.hexdigest()
+
+
+def test_ani_point_estimates():
+    a = MinHash(ksize=21, scaled=2)
+    b = MinHash(ksize=21, scaled=2)
+    a.add_many(range(100))
+    b.add_many(range(90))
+    j = a.jaccard(b)
+    assert a.jaccard_ani_point(b) == pytest.approx(
+        (2 * j / (1 + j)) ** (1 / 21)
+    )
+    c = a.contained_by(b)
+    assert a.containment_ani_point(b) == pytest.approx(c ** (1 / 21))

@@ -1,0 +1,76 @@
+"""Golden end-to-end: the Spark sketch stage must reproduce the pure-Python
+oracle's hash sets exactly on the synthetic corpus (reference analog:
+tests/test_sourmash_sketch.py golden outputs)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from sourmash_spark.hashing import i64_to_u64
+from sourmash_spark.oracle import sketch_text
+from sourmash_spark.params import SketchParams
+from sourmash_spark.sketch import batch_sketch, sketch_signatures, with_sha256
+
+PARAMS = SketchParams(ksize=21, scaled=200)
+
+
+def test_batch_sketch_matches_oracle(corpus):
+    import pandas as pd
+
+    sample = corpus.code_files.head(20)
+    got = batch_sketch(sample["content"], PARAMS)
+    for (hashes, _), text in zip(got, sample["content"]):
+        oracle = sketch_text(text, PARAMS)
+        assert hashes.tolist() == oracle.mins
+
+
+def test_batch_sketch_abundance(corpus):
+    import pandas as pd
+
+    p = SketchParams(ksize=21, scaled=200, track_abundance=True)
+    text = corpus.code_files["content"].iloc[0]
+    (hashes, abunds), = batch_sketch(pd.Series([text]), p)
+    oracle = sketch_text(text, p)
+    assert dict(zip(i64_to_u64(hashes).tolist(), abunds.tolist())) == oracle.hashes
+
+
+def test_batch_sketch_short_and_empty():
+    import pandas as pd
+
+    got = batch_sketch(pd.Series(["", "short", "x" * 20, "y" * 21]), PARAMS)
+    assert [h.size for h, _ in got[:3]] == [0, 0, 0]
+    assert got[3][0].size <= 1
+
+
+def test_spark_sketch_signatures(spark, corpus):
+    df = spark.createDataFrame(corpus.code_files)
+    sigs = sketch_signatures(df, PARAMS, keep_cols=["file_id", "repo", "path"])
+    rows = {r["file_id"]: r for r in sigs.collect()}
+    sample = corpus.code_files.set_index("file_id").head(30)
+    for fid, rec in sample.iterrows():
+        oracle = sketch_text(rec["content"], PARAMS)
+        got = i64_to_u64(np.array(rows[fid]["hashes"], dtype=np.int64)).tolist()
+        assert got == oracle.mins, fid
+        assert rows[fid]["md5"] == oracle.md5sum()
+        assert rows[fid]["n_hashes"] == len(oracle)
+
+
+def test_sha256_invariant(spark, corpus):
+    df = with_sha256(spark.createDataFrame(corpus.code_files))
+    got = {r["file_id"]: r["sha256"] for r in df.select("file_id", "sha256").collect()}
+    want = dict(zip(corpus.digests["file_id"], corpus.digests["sha256"]))
+    assert got == want
+
+
+def test_num_mode_sketch(spark, corpus):
+    import pandas as pd
+
+    p = SketchParams(ksize=21, scaled=0, num=50)
+    text = corpus.code_files["content"].iloc[1]
+    (hashes, _), = batch_sketch(pd.Series([text]), p)
+    oracle = sketch_text(text, p)
+    assert i64_to_u64(hashes).tolist() == oracle.mins
+    assert len(oracle) <= 50
