@@ -1,0 +1,3 @@
+"""DataFrame-level operators: the reference's query surface re-expressed as
+Spark plans (compare, search, prefetch, gather, set ops, LSH, clustering,
+dedup/text/ANN extensions)."""

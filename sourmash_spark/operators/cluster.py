@@ -1,0 +1,92 @@
+"""Connected components over the verified-edges graph -> cluster assignments.
+
+Reference equivalence: single-linkage clustering cut at threshold t is
+exactly connected components of the graph with edges {similarity >= 1-t}
+(the reference builds this with scipy hierarchy over the dense matrix,
+/root/reference/src/sourmash/commands.py:416-418, src/sourmash/fig.py:52-79
+— impossible at 10^12 rows).
+
+Implementation: alternating large-star / small-star label joins
+(the standard iterative-join CC formulation; converges in O(log^2 n)
+rounds on pathological graphs, ~2-4 rounds on clone-family graphs).
+Each round is two shuffles on sig_id; intermediate results are
+localCheckpoint()ed to cut the growing lineage.  GraphFrames is not
+assumed present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "sig_id_a",
+    dst: str = "sig_id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(sig_id, cluster_id) for every vertex appearing in `edges`;
+    cluster_id = min sig_id of the component.  Isolated vertices (no edges)
+    are not emitted — callers union them back with cluster_id = sig_id."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    # undirected: keep both directions for min-label propagation
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # min neighbor label per vertex
+        msgs = (
+            sym.join(labels.withColumnRenamed("v", "a"), "a")
+            .groupBy(F.col("b").alias("v"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(msgs, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("v").alias("sig_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def assign_clusters(
+    all_sigs: DataFrame,
+    edges: DataFrame,
+    sig_id: str = "sig_id",
+    src: str = "sig_id_a",
+    dst: str = "sig_id_b",
+) -> DataFrame:
+    """Full cluster table over every signature: component label where edges
+    exist, else singleton cluster_id = sig_id (FIXTURES.md §6)."""
+    cc = connected_components(edges, src=src, dst=dst)
+    return (
+        all_sigs.select(F.col(sig_id).alias("sig_id"))
+        .join(cc, "sig_id", "left")
+        .select(
+            "sig_id",
+            F.coalesce("cluster_id", F.col("sig_id")).alias("cluster_id"),
+        )
+    )

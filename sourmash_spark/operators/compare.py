@@ -1,0 +1,138 @@
+"""All-pairs compare — the reference's `sourmash compare` (commands.py:38-303,
+compare.py:14-187) re-expressed as a distributed plan.
+
+The reference materializes a dense N x N numpy matrix on one node.  At 10^12
+sketches that is impossible; instead we emit the **long-form sparse matrix**
+`(sig_id_a, sig_id_b, similarity, ...)` built from an inverted-index
+self-join (the same candidate-generation SQL the reference's own
+SqliteIndex uses: SELECT sketch_id, COUNT(hashval) ... GROUP BY sketch_id,
+sqlite_index.py:612-618).  Pairs sharing zero hashes never materialize.
+
+Scale levers:
+* `df_cap` drops hashes whose document frequency exceeds a cap before the
+  self-join (boilerplate guard — an O(df^2) blowup otherwise);
+* AQE skew-join handles residual bucket skew;
+* a dense crossJoin variant exists only for tiny-N parity testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from . import kernels
+
+
+def postings(
+    sigs: DataFrame,
+    sig_id: str = "sig_id",
+    df_cap: int = 0,
+) -> DataFrame:
+    """Inverted index: one row per (hashval, sig_id) — the analog of the
+    reference's `sourmash_hashes` table (sqlite_index.py:263-278)."""
+    p = sigs.select(sig_id, F.explode("hashes").alias("hashval"))
+    if df_cap:
+        freq = (
+            p.groupBy("hashval")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("hashval")
+        )
+        p = p.join(freq, "hashval")  # AQE may broadcast the surviving dims
+    return p
+
+
+def compare_all_pairs(
+    sigs: DataFrame,
+    sig_id: str = "sig_id",
+    threshold: float = 0.0,
+    mode: str = "jaccard",
+    scaled: int | None = None,
+    df_cap: int = 0,
+) -> DataFrame:
+    """Long-form pairwise similarity over one signatures DataFrame.
+
+    Output: (sig_id_a, sig_id_b, intersect_hashes, size_a, size_b, and the
+    requested score column) with sig_id_a < sig_id_b; pairs below
+    `threshold` (or sharing no hash) are dropped.
+
+    mode: jaccard | containment (a in b) | max_containment | avg_containment
+    """
+    sizes = sigs.select(
+        F.col(sig_id).alias("_sid"), F.col("n_hashes").alias("_n")
+    )
+    p = postings(sigs, sig_id, df_cap=df_cap)
+    a = p.select(F.col(sig_id).alias("sig_id_a"), "hashval")
+    b = p.select(F.col(sig_id).alias("sig_id_b"), "hashval")
+    pairs = (
+        a.join(b, "hashval")
+        .filter(F.col("sig_id_a") < F.col("sig_id_b"))
+        .groupBy("sig_id_a", "sig_id_b")
+        .agg(F.count("*").alias("intersect_hashes"))
+    )
+    pairs = (
+        pairs.join(sizes, pairs.sig_id_a == sizes._sid)
+        .withColumnRenamed("_n", "size_a")
+        .drop("_sid")
+        .join(
+            sizes.withColumnRenamed("_n", "size_b").withColumnRenamed(
+                "_sid", "_sid2"
+            ),
+            F.col("sig_id_b") == F.col("_sid2"),
+        )
+        .drop("_sid2")
+    )
+    inter = F.col("intersect_hashes")
+    sa, sb = F.col("size_a"), F.col("size_b")
+    if mode == "jaccard":
+        score = kernels.jaccard_from_counts(inter, sa, sb)
+    elif mode == "containment":
+        score = kernels.containment_from_counts(inter, sa, F.lit(scaled))
+    elif mode == "max_containment":
+        score = kernels.max_containment_from_counts(inter, sa, sb, F.lit(scaled))
+    elif mode == "avg_containment":
+        score = (
+            kernels.containment_from_counts(inter, sa, F.lit(scaled))
+            + kernels.containment_from_counts(inter, sb, F.lit(scaled))
+        ) / 2.0
+    else:
+        raise ValueError(f"unknown mode {mode}")
+    out = pairs.withColumn(mode, score)
+    if threshold > 0.0:
+        out = out.filter(F.col(mode) >= threshold)
+    return out
+
+
+def compare_dense(
+    sigs: DataFrame, sig_id: str = "sig_id", mode: str = "jaccard",
+    scaled: int | None = None,
+) -> DataFrame:
+    """Tiny-N parity path: explicit crossJoin + array kernels.  Includes
+    zero-similarity pairs (like the reference's dense matrix).  Never use at
+    scale."""
+    a = sigs.select(
+        F.col(sig_id).alias("sig_id_a"), F.col("hashes").alias("ha")
+    )
+    b = sigs.select(
+        F.col(sig_id).alias("sig_id_b"), F.col("hashes").alias("hb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("sig_id_a") < F.col("sig_id_b"))
+    ha, hb = F.col("ha"), F.col("hb")
+    if mode == "jaccard":
+        score = kernels.jaccard(ha, hb)
+    elif mode == "containment":
+        score = kernels.contained_by(ha, hb, F.lit(scaled))
+    elif mode == "max_containment":
+        score = kernels.max_containment(ha, hb, F.lit(scaled))
+    elif mode == "avg_containment":
+        score = kernels.avg_containment(ha, hb, F.lit(scaled))
+    else:
+        raise ValueError(f"unknown mode {mode}")
+    return pairs.select(
+        "sig_id_a",
+        "sig_id_b",
+        kernels.intersect_size(ha, hb).alias("intersect_hashes"),
+        F.size(ha).alias("size_a"),
+        F.size(hb).alias("size_b"),
+        score.alias(mode),
+    )

@@ -1,0 +1,179 @@
+"""Gather — greedy min-set-cover decomposition of a query against a database
+(reference: GatherDatabases, /root/reference/src/sourmash/search.py:755-949;
+CounterGather peek/consume, index/__init__.py:735-909; stats twin
+src/core/src/index/mod.rs:210-280).
+
+Two-stage shape (mirrors the reference's own ">=4.1 prefetch design"):
+
+1. **prefetch sweep** (distributed, one narrow scan + threshold): collect
+   the candidate sketches that overlap the query above threshold_bp.  The
+   candidate set is bounded by the threshold — the reference itself holds
+   exactly this in a driver-side Counter, and so do we (numpy arrays).
+2. **greedy rounds** (driver, vectorized numpy): peek argmax overlap,
+   emit a GatherResult row, subtract the match's hashes from the remaining
+   query, decrement counters.  Rounds are inherently sequential (min-set-cov
+   is greedy by definition); per-round work is O(candidates) vector ops and
+   never touches the cluster again.
+
+At 100 TB the expensive part is stage 1, which scales like `prefetch`
+(narrow scan, no shuffle).  Stage 2 state is a few MB of candidate hash
+arrays regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..hashing import i64_to_u64
+from .prefetch import prefetch
+
+GATHER_COLS = [
+    "intersect_bp", "f_orig_query", "f_match", "f_unique_to_query",
+    "f_unique_weighted", "average_abund", "median_abund", "std_abund",
+    "name", "md5", "f_match_orig", "unique_intersect_bp",
+    "gather_result_rank", "remaining_bp", "query_md5", "query_bp", "ksize",
+    "scaled", "query_n_hashes", "query_abundance",
+    "query_containment_ani", "match_containment_ani",
+    "average_containment_ani", "max_containment_ani",
+]
+
+
+def _bias(n: int, scaled: int) -> float:
+    return 1.0 - (1.0 - 1.0 / scaled) ** float(n * scaled) if n else 1.0
+
+
+def _contained(inter: int, denom: int, scaled: int) -> float:
+    if not denom:
+        return 0.0
+    return min(1.0, max(0.0, inter / (denom * _bias(denom, scaled))))
+
+
+def _ani(c: float, k: int) -> float:
+    if c <= 0.0:
+        return 0.0
+    if c >= 1.0:
+        return 1.0
+    return c ** (1.0 / k)
+
+
+def gather(
+    spark: SparkSession,
+    db: DataFrame,
+    query_hashes: list[int],
+    scaled: int,
+    ksize: int = 21,
+    threshold_bp: int = 0,
+    query_abunds: list[int] | None = None,
+    query_md5: str = "",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """Greedy decomposition; returns GatherResult-shaped rows in rank order
+    (column parity subset of search.py:482-524; CI columns omitted)."""
+    min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
+
+    cands_df = prefetch(
+        db, query_hashes, scaled, ksize=ksize, threshold_bp=threshold_bp,
+        query_md5=query_md5, sig_id=sig_id,
+    ).select(sig_id, "match_name", "match_md5")
+    cand_meta = cands_df.collect()
+    cand_ids = [r[sig_id] for r in cand_meta]
+    if cand_ids:
+        rows = (
+            db.filter(db[sig_id].isin(cand_ids))
+            .select(sig_id, "hashes")
+            .collect()
+        )
+        cand_hashes = {
+            r[sig_id]: i64_to_u64(np.array(r["hashes"], dtype=np.int64))
+            for r in rows
+        }
+    else:
+        cand_hashes = {}
+    meta = {r[sig_id]: (r["match_name"], r["match_md5"]) for r in cand_meta}
+
+    orig = i64_to_u64(np.array(sorted(query_hashes), dtype=np.int64))
+    orig = np.unique(orig)
+    orig_len = int(orig.size)
+    if query_abunds is not None:
+        abund_map = dict(zip(orig.tolist(), [int(a) for a in query_abunds]))
+        total_weighted = sum(abund_map.values())
+        track_abund = True
+    else:
+        abund_map = {h: 1 for h in orig.tolist()}
+        total_weighted = orig_len
+        track_abund = False
+
+    remaining = orig.copy()
+    results = []
+    rank = 0
+    while cand_hashes and remaining.size:
+        # peek: argmax overlap vs *remaining* query (CounterGather.peek)
+        best_id, best_overlap = None, -1
+        for cid in sorted(cand_hashes, key=lambda c: meta[c][1]):
+            ov = int(np.intersect1d(cand_hashes[cid], remaining).size)
+            if ov > best_overlap:
+                best_id, best_overlap = cid, ov
+        if best_overlap < min_hashes or best_overlap <= 0:
+            break
+        match = cand_hashes.pop(best_id)
+        found = np.intersect1d(remaining, match)  # unique-to-this-round
+        orig_inter = int(np.intersect1d(orig, match).size)
+
+        abunds = np.array([abund_map[h] for h in found.tolist()], dtype=np.int64)
+        f_match = _contained(found.size, match.size, scaled)
+        f_match_orig = _contained(orig_inter, match.size, scaled)
+        f_orig_query = orig_inter / orig_len if orig_len else 0.0
+        f_unique_to_query = found.size / orig_len if orig_len else 0.0
+        q_ani = _ani(_contained(found.size, remaining.size, scaled), ksize)
+        m_ani = _ani(f_match, ksize)
+        results.append(
+            {
+                "intersect_bp": orig_inter * scaled,
+                "f_orig_query": f_orig_query,
+                "f_match": f_match,
+                "f_unique_to_query": f_unique_to_query,
+                "f_unique_weighted": (
+                    float(abunds.sum()) / total_weighted
+                    if track_abund
+                    else f_unique_to_query
+                ),
+                "average_abund": float(abunds.mean()) if track_abund else None,
+                "median_abund": float(np.median(abunds)) if track_abund else None,
+                "std_abund": float(abunds.std()) if track_abund else None,
+                "name": meta[best_id][0],
+                "md5": meta[best_id][1],
+                "f_match_orig": f_match_orig,
+                "unique_intersect_bp": int(found.size) * scaled,
+                "gather_result_rank": rank,
+                "remaining_bp": int(remaining.size - found.size) * scaled,
+                "query_md5": query_md5,
+                "query_bp": orig_len * scaled,
+                "ksize": ksize,
+                "scaled": scaled,
+                "query_n_hashes": orig_len,
+                "query_abundance": track_abund,
+                "query_containment_ani": q_ani,
+                "match_containment_ani": m_ani,
+                "average_containment_ani": (q_ani + m_ani) / 2.0,
+                "max_containment_ani": max(q_ani, m_ani),
+            }
+        )
+        remaining = np.setdiff1d(remaining, match)  # consume
+        rank += 1
+
+    pdf = pd.DataFrame(results, columns=GATHER_COLS)
+    schema = (
+        "intersect_bp long, f_orig_query double, f_match double, "
+        "f_unique_to_query double, f_unique_weighted double, "
+        "average_abund double, median_abund double, std_abund double, "
+        "name string, md5 string, f_match_orig double, "
+        "unique_intersect_bp long, gather_result_rank int, "
+        "remaining_bp long, query_md5 string, query_bp long, ksize int, "
+        "scaled long, query_n_hashes int, query_abundance boolean, "
+        "query_containment_ani double, match_containment_ani double, "
+        "average_containment_ani double, max_containment_ani double"
+    )
+    return spark.createDataFrame(pdf, schema=schema)

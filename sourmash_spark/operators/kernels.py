@@ -1,0 +1,136 @@
+"""Pairwise comparison kernels as Catalyst column expressions.
+
+Every kernel of the reference's FFI surface (count_common / jaccard /
+containment / ANI — /root/reference/src/core/src/sketch/minhash.rs:539-702,
+/root/reference/src/sourmash/minhash.py:749-959) becomes a pure column
+expression over two `array<long>` hash columns, so the whole verification
+stage stays inside whole-stage codegen — no Python in the hot path.
+
+Conventions: hash arrays hold u64 bit patterns as LongType, sorted by
+unsigned value.  All expressions here assume scaled >= 2 sketches, whose
+kept hashes are < 2**63 (non-negative as int64), so signed comparisons are
+unsigned-safe; num-mode order-sensitive ops go through the UDF path instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+from ..hashing import max_hash_for_scaled, u64_to_i64
+
+
+def intersect_size(a: Column, b: Column) -> Column:
+    """|A ∩ B| — the reference's count_common (minhash.rs:539-558)."""
+    return F.size(F.array_intersect(a, b))
+
+
+def union_size(a: Column, b: Column) -> Column:
+    return F.size(F.array_union(a, b))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Scaled-mode jaccard = |A∩B| / |A∪B| (minhash.rs:623-631)."""
+    u = union_size(a, b)
+    return F.when(u > 0, intersect_size(a, b) / u).otherwise(F.lit(0.0))
+
+
+def jaccard_from_counts(inter: Column, size_a: Column, size_b: Column) -> Column:
+    """Jaccard from precomputed |A∩B| and set sizes — the shape produced by
+    the postings-join candidate stage (|A∪B| = |A|+|B|-|A∩B|)."""
+    u = size_a + size_b - inter
+    return F.when(u > 0, inter / u).otherwise(F.lit(0.0))
+
+
+def bias_factor(n: Column, scaled: Column) -> Column:
+    """FracMinHash containment debias: 1-(1-1/scaled)^(n*scaled)
+    (minhash.py:833-834)."""
+    return 1.0 - F.pow(1.0 - 1.0 / scaled, n.cast("double") * scaled)
+
+
+def _clamp01(c: Column) -> Column:
+    return F.least(F.lit(1.0), F.greatest(F.lit(0.0), c))
+
+
+def containment_from_counts(
+    inter: Column, denom: Column, scaled: Column
+) -> Column:
+    """|A∩B| / (|A| * bias), clamped to [0,1] (minhash.py:819-841)."""
+    c = inter / (denom * bias_factor(denom, scaled))
+    return F.when(denom > 0, _clamp01(c)).otherwise(F.lit(0.0))
+
+
+def contained_by(a: Column, b: Column, scaled: Column) -> Column:
+    return containment_from_counts(intersect_size(a, b), F.size(a), scaled)
+
+
+def max_containment_from_counts(
+    inter: Column, size_a: Column, size_b: Column, scaled: Column
+) -> Column:
+    return containment_from_counts(inter, F.least(size_a, size_b), scaled)
+
+
+def max_containment(a: Column, b: Column, scaled: Column) -> Column:
+    return max_containment_from_counts(
+        intersect_size(a, b), F.size(a), F.size(b), scaled
+    )
+
+
+def avg_containment(a: Column, b: Column, scaled: Column) -> Column:
+    return (contained_by(a, b, scaled) + contained_by(b, a, scaled)) / 2.0
+
+
+def containment_ani_point(containment: Column, ksize: Column) -> Column:
+    """ANI point estimate from containment: c^(1/k)
+    (distance_utils.py:283: dist = 1-c^(1/k); ani = 1-dist)."""
+    return (
+        F.when(containment <= 0.0, F.lit(0.0))
+        .when(containment >= 1.0, F.lit(1.0))
+        .otherwise(F.pow(containment, 1.0 / ksize))
+    )
+
+
+def jaccard_ani_point(j: Column, ksize: Column) -> Column:
+    """ANI point estimate from jaccard: (2j/(1+j))^(1/k)
+    (distance_utils.py:389)."""
+    return (
+        F.when(j <= 0.0, F.lit(0.0))
+        .when(j >= 1.0, F.lit(1.0))
+        .otherwise(F.pow(2.0 * j / (1.0 + j), 1.0 / ksize))
+    )
+
+
+def angular_similarity(
+    hashes_a: Column, abunds_a: Column, hashes_b: Column, abunds_b: Column
+) -> Column:
+    """1 - 2*acos(cos_sim)/pi over hash-aligned abundance vectors
+    (minhash.rs:635-680) — built from higher-order functions (aggregate over
+    a map lookup), still JVM-side."""
+    map_b = F.map_from_arrays(hashes_b, abunds_b)
+    prod = F.aggregate(
+        F.arrays_zip(hashes_a.alias("h"), abunds_a.alias("a")),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + x["a"].cast("double")
+        * F.coalesce(map_b[x["h"]], F.lit(0)).cast("double"),
+    )
+    norm = lambda ab: F.sqrt(  # noqa: E731
+        F.aggregate(ab, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+    cos = F.least(F.lit(1.0), prod / (norm(abunds_a) * norm(abunds_b)))
+    return F.when(
+        (F.size(hashes_a) == 0) | (F.size(hashes_b) == 0) | (prod == 0.0),
+        F.lit(0.0),
+    ).otherwise(1.0 - 2.0 * F.acos(cos) / F.lit(3.141592653589793))
+
+
+def downsample_hashes(hashes: Column, new_scaled: int) -> Column:
+    """Re-filter to a larger scaled — pure projection, no shuffle
+    (minhash.rs:777-798).  Valid for new_scaled >= 2 (kept hashes are then
+    non-negative int64, so the signed predicate is unsigned-correct)."""
+    mh = u64_to_i64(max_hash_for_scaled(new_scaled))
+    return F.filter(hashes, lambda h: (h >= 0) & (h <= F.lit(mh)))
+
+
+def scaled_max_hash_lit(scaled: int) -> Column:
+    return F.lit(u64_to_i64(max_hash_for_scaled(scaled)))

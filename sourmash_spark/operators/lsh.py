@@ -1,0 +1,176 @@
+"""LSH banding — the candidate-generation refinement the reference lacks
+(its prefetch joins on *every* hash; see SURVEY §4).  Pure DataFrame ops.
+
+Scheme: one-permutation hashing over the FracMinHash set.  The live hash
+space [0, max_hash] is split into ``num_bands * band_size`` equal ranges;
+each range contributes its minimum hash (or an EMPTY sentinel).  A band =
+``band_size`` consecutive range-minima, reduced to one 64-bit band key with
+xxhash64.  Two sketches become a candidate pair iff they share >= 1 band
+key at the same band index.
+
+Why range-minima and not positional slices of the sorted sketch: positional
+banding breaks under a single hash insertion (every later position shifts);
+range-minima are stable under unrelated insertions, which is what gives the
+S-curve recall 1-(1-s^r)^b its validity here.
+
+Skew levers (boilerplate shingles / giant repos produce mega-buckets):
+* `bucket_cap` drops band buckets with more than cap members before the
+  pair join (an O(bucket^2) blowup otherwise) — dropped-bucket counts are
+  reported via `bucket_stats` for lineage;
+* the pair self-join runs under AQE skew-join splitting;
+* band keys are uniformly distributed by construction (xxhash64), so the
+  groupBy itself does not need salting — the cap bounds the worst bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ..hashing import max_hash_for_scaled
+from ..params import LSHParams
+
+EMPTY_SENTINEL = -1  # never a valid scaled-mode hash (those are >= 0)
+
+
+def band_signatures(
+    sigs: DataFrame,
+    lsh: LSHParams,
+    scaled: int,
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """(sig_id, band_idx, band_key) — one row per (sketch, band).
+
+    Narrow projection + one explode; no shuffle.  Rows whose sketch is empty
+    produce all-sentinel bands and are filtered out (an empty sketch should
+    never become a candidate of everything)."""
+    m = lsh.num_bands * lsh.band_size
+    max_hash = max_hash_for_scaled(scaled)  # < 2**63 for scaled >= 2
+    width = max_hash // m + 1
+
+    rows = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.col("hashes"),
+                    lambda h: F.floor(h / F.lit(width)) == i.cast("long"),
+                )
+            ),
+            F.lit(EMPTY_SENTINEL).cast("long"),
+        ),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(lsh.num_bands - 1)),
+        lambda j: F.slice(F.col("_rows"), j * lsh.band_size + 1, lsh.band_size),
+    )
+    out = (
+        sigs.filter(F.col("n_hashes") > 0)
+        .select(F.col(sig_id), F.col("hashes"))
+        .withColumn("_rows", rows)
+        .select(
+            sig_id,
+            F.posexplode(bands).alias("band_idx", "band_vals"),
+        )
+        # all-empty bands carry no signal — drop them
+        .filter(F.array_max("band_vals") != F.lit(EMPTY_SENTINEL).cast("long"))
+        .select(
+            sig_id,
+            "band_idx",
+            F.xxhash64(F.col("band_idx"), F.concat_ws(",", F.col("band_vals").cast("array<string>"))).alias("band_key"),
+        )
+    )
+    return out
+
+
+def bucket_stats(bands: DataFrame) -> DataFrame:
+    """Per-bucket membership counts — the lineage/metrics feed for skew
+    monitoring (north rule: measured, not assumed)."""
+    return bands.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("bucket_size")
+    )
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    bucket_cap: int = 0,
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """(sig_id_a, sig_id_b, n_shared_bands) with sig_id_a < sig_id_b.
+
+    Self-join on (band_idx, band_key); buckets above `bucket_cap` are
+    dropped first (boilerplate guard)."""
+    if bucket_cap:
+        sizes = bucket_stats(bands).filter(F.col("bucket_size") <= bucket_cap)
+        bands = bands.join(sizes.select("band_idx", "band_key"), ["band_idx", "band_key"])
+    a = bands.select(
+        F.col(sig_id).alias("sig_id_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col(sig_id).alias("sig_id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("sig_id_a") < F.col("sig_id_b"))
+        .groupBy("sig_id_a", "sig_id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    sigs: DataFrame,
+    scaled: int,
+    ksize: int = 21,
+    threshold: float = 0.0,
+    threshold_col: str = "jaccard",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """Exact verification of candidate pairs — the edges table
+    (FIXTURES.md §5; columns follow PrefetchResult semantics).
+
+    Joins candidates back to the signatures to compute exact
+    jaccard/containment/ANI with array kernels (JVM-side)."""
+    from . import kernels
+
+    sa = sigs.select(
+        F.col(sig_id).alias("sig_id_a"), F.col("hashes").alias("_ha")
+    )
+    sb = sigs.select(
+        F.col(sig_id).alias("sig_id_b"), F.col("hashes").alias("_hb")
+    )
+    ha, hb = F.col("_ha"), F.col("_hb")
+    inter = kernels.intersect_size(ha, hb)
+    out = (
+        candidates.join(sa, "sig_id_a")
+        .join(sb, "sig_id_b")
+        .withColumn("intersect_hashes", inter.cast("long"))
+        .withColumn("size_a", F.size(ha))
+        .withColumn("size_b", F.size(hb))
+        .select(
+            "sig_id_a",
+            "sig_id_b",
+            kernels.jaccard_from_counts(
+                F.col("intersect_hashes"), F.col("size_a"), F.col("size_b")
+            ).alias("jaccard"),
+            kernels.containment_from_counts(
+                F.col("intersect_hashes"), F.col("size_a"), F.lit(scaled)
+            ).alias("containment_a_in_b"),
+            kernels.containment_from_counts(
+                F.col("intersect_hashes"), F.col("size_b"), F.lit(scaled)
+            ).alias("containment_b_in_a"),
+            kernels.max_containment_from_counts(
+                F.col("intersect_hashes"), F.col("size_a"), F.col("size_b"),
+                F.lit(scaled),
+            ).alias("max_containment"),
+            "intersect_hashes",
+            (F.col("intersect_hashes") * scaled).alias("intersect_bp"),
+        )
+        .withColumn(
+            "ani_est",
+            kernels.jaccard_ani_point(F.col("jaccard"), F.lit(ksize)),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col(threshold_col) >= threshold)
+    return out

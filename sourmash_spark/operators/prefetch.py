@@ -1,0 +1,89 @@
+"""Prefetch — containment sweep with the reference's PrefetchResult columns
+(/root/reference/src/sourmash/commands.py:1494-1722, search.py:367-470).
+
+Semantics: return every db sketch whose overlap with the query satisfies
+``intersect_hashes * scaled >= threshold_bp`` (threshold calc
+search.py:15-37), with the full stats column set.  Like `search`, the
+single-query form is a narrow scan (query hashes are a plan literal); no
+shuffle until the optional ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from . import kernels
+
+
+def prefetch(
+    db: DataFrame,
+    query_hashes: list[int],
+    scaled: int,
+    ksize: int = 21,
+    threshold_bp: int = 0,
+    query_md5: str = "",
+    query_name: str = "",
+    query_abundance: bool = False,
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """PrefetchResult-shaped DataFrame, ordered by overlap desc
+    (column list parity: search.py:367-400)."""
+    q = F.lit(query_hashes).cast("array<long>")
+    size_q = F.lit(len(query_hashes))
+    inter = kernels.intersect_size(F.col("hashes"), q)
+    min_hashes = int(threshold_bp / scaled) if threshold_bp else 1
+
+    name_col = db["name"] if "name" in db.columns else F.col(sig_id).cast("string")
+    f_match_query = kernels.containment_from_counts(
+        F.col("intersect_hashes"), size_q, F.lit(scaled)
+    )  # query contained by match
+    f_query_match = kernels.containment_from_counts(
+        F.col("intersect_hashes"), F.col("n_hashes"), F.lit(scaled)
+    )  # match contained by query
+
+    out = (
+        db.withColumn("intersect_hashes", inter)
+        .filter(F.col("intersect_hashes") >= F.lit(min_hashes))
+        .select(
+            F.col(sig_id),
+            (F.col("intersect_hashes") * scaled).alias("intersect_bp"),
+            kernels.jaccard_from_counts(
+                F.col("intersect_hashes"), size_q, F.col("n_hashes")
+            ).alias("jaccard"),
+            kernels.max_containment_from_counts(
+                F.col("intersect_hashes"), size_q, F.col("n_hashes"),
+                F.lit(scaled),
+            ).alias("max_containment"),
+            f_query_match.alias("f_query_match"),
+            f_match_query.alias("f_match_query"),
+            name_col.alias("match_name"),
+            F.col("md5").alias("match_md5"),
+            (F.col("n_hashes").cast("long") * scaled).alias("match_bp"),
+            F.lit(query_name).alias("query_name"),
+            F.lit(query_md5).alias("query_md5"),
+            (size_q.cast("long") * scaled).alias("query_bp"),
+            F.lit(ksize).alias("ksize"),
+            F.col("moltype") if "moltype" in db.columns else F.lit("code").alias("moltype"),
+            F.lit(scaled).cast("long").alias("scaled"),
+            size_q.cast("int").alias("query_n_hashes"),
+            F.lit(query_abundance).alias("query_abundance"),
+            kernels.containment_ani_point(f_match_query, F.lit(ksize)).alias(
+                "query_containment_ani"
+            ),
+            kernels.containment_ani_point(f_query_match, F.lit(ksize)).alias(
+                "match_containment_ani"
+            ),
+            F.col("intersect_hashes"),
+        )
+        .withColumn(
+            "average_containment_ani",
+            (F.col("query_containment_ani") + F.col("match_containment_ani")) / 2.0,
+        )
+        .withColumn(
+            "max_containment_ani",
+            kernels.containment_ani_point(F.col("max_containment"), F.lit(ksize)),
+        )
+        .orderBy(F.desc("intersect_hashes"), "match_md5")
+    )
+    return out

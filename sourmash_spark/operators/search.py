@@ -1,0 +1,157 @@
+"""Threshold similarity search — the reference's Index.search / Index.find
+(/root/reference/src/sourmash/index/__init__.py:115-239) and the
+JaccardSearch score functions (search.py:90-169) as Spark plans.
+
+Single-query path: the query's hash array is a plan literal, so search is a
+**narrow scan** over the signatures table — no shuffle at all; Catalyst
+prunes columns and the threshold filter pipelines into the scan.  Best-only
+(top-1 ratchet, search.py:163-169) becomes ORDER BY + LIMIT
+(TakeOrderedAndProject).  Many-query batch path: broadcast the query
+postings into one hash-equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from . import kernels
+
+
+def _score(mode: str, inter, size_q, size_m, scaled):
+    """score_fn dispatch (search.py:90-160): jaccard = shared/total,
+    containment = shared/query_size, max_containment = shared/min."""
+    if mode == "jaccard":
+        return kernels.jaccard_from_counts(inter, size_q, size_m)
+    if mode == "containment":
+        return kernels.containment_from_counts(inter, size_q, F.lit(scaled))
+    if mode == "max_containment":
+        return kernels.max_containment_from_counts(
+            inter, size_q, size_m, F.lit(scaled)
+        )
+    raise ValueError(f"unknown search mode {mode}")
+
+
+def search(
+    db: DataFrame,
+    query_hashes: list[int],
+    threshold: float = 0.08,
+    mode: str = "jaccard",
+    scaled: int | None = None,
+    ksize: int = 21,
+    num_results: int | None = None,
+    best_only: bool = False,
+    query_md5: str = "",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """One query sketch vs a signatures table.
+
+    `query_hashes` are i64 bit patterns (driver-held small sketch — the
+    analog of the reference loading one query signature).  Returns
+    SearchResult-shaped rows (search.py:294-307): similarity, md5, name,
+    query_md5, ani — ordered desc, deduped on md5.
+    """
+    q = F.lit(query_hashes).cast("array<long>")
+    inter = kernels.intersect_size(F.col("hashes"), q)
+    size_q = F.lit(len(query_hashes))
+    size_m = F.col("n_hashes")
+    score = _score(mode, inter, size_q, size_m, scaled)
+
+    name_col = db["name"] if "name" in db.columns else F.col(sig_id).cast("string")
+    out = (
+        db.withColumn("similarity", score)
+        # reference passes(): score must be nonzero AND >= threshold
+        # (search.py:127-136)
+        .filter((F.col("similarity") > 0.0) & (F.col("similarity") >= threshold))
+        .select(
+            F.col(sig_id),
+            "similarity",
+            "md5",
+            name_col.alias("name"),
+            F.lit(query_md5).alias("query_md5"),
+            (
+                kernels.containment_ani_point(F.col("similarity"), F.lit(ksize))
+                if mode in ("containment", "max_containment")
+                else kernels.jaccard_ani_point(F.col("similarity"), F.lit(ksize))
+            ).alias("ani"),
+        )
+        .dropDuplicates(["md5"])
+        .orderBy(F.desc("similarity"), "md5")
+    )
+    if best_only:
+        return out.limit(1)
+    if num_results:
+        out = out.limit(num_results)
+    return out
+
+
+def search_many(
+    db: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.08,
+    mode: str = "jaccard",
+    scaled: int | None = None,
+    query_id: str = "query_id",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """Batch search: every query sketch vs every db sketch sharing >=1 hash.
+    Queries are typically the small side — broadcast their postings so the
+    big db postings never shuffle."""
+    qp = F.broadcast(
+        queries.select(
+            F.col(query_id), F.col("n_hashes").alias("size_q"),
+            F.explode("hashes").alias("hashval"),
+        )
+    )
+    dp = db.select(
+        F.col(sig_id), F.col("n_hashes").alias("size_m"),
+        F.explode("hashes").alias("hashval"),
+    )
+    hits = (
+        dp.join(qp, "hashval")
+        .groupBy(query_id, sig_id)
+        .agg(
+            F.count("*").alias("intersect_hashes"),
+            F.first("size_q").alias("size_q"),
+            F.first("size_m").alias("size_m"),
+        )
+    )
+    score = _score(
+        mode,
+        F.col("intersect_hashes"),
+        F.col("size_q"),
+        F.col("size_m"),
+        scaled,
+    )
+    return hits.withColumn("similarity", score).filter(
+        (F.col("similarity") > 0.0) & (F.col("similarity") >= threshold)
+    )
+
+
+def categorize(
+    sigs: DataFrame, db: DataFrame, threshold: float = 0.08,
+    sig_id: str = "sig_id", query_id: str = "query_id",
+) -> DataFrame:
+    """Best jaccard match per query, skipping self-matches on md5
+    (commands.py:758-833): join + rank-1 window."""
+    queries = sigs.select(
+        F.col(sig_id).alias(query_id), F.col("md5").alias("query_md5"),
+        "hashes", "n_hashes",
+    )
+    hits = search_many(db, queries, threshold, "jaccard", query_id=query_id,
+                       sig_id=sig_id)
+    meta = db.select(sig_id, F.col("md5").alias("match_md5"))
+    qmeta = sigs.select(
+        F.col(sig_id).alias(query_id), F.col("md5").alias("query_md5")
+    )
+    hits = hits.join(meta, sig_id).join(qmeta, query_id).filter(
+        F.col("match_md5") != F.col("query_md5")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("similarity"), F.col("match_md5")
+    )
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
