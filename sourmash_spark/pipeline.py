@@ -1,0 +1,124 @@
+"""End-to-end near-duplicate pipeline: the north rule's deliverable.
+
+code_files --sketch--> signatures --LSH bands--> candidate_pairs
+          --exact verify--> edges --connected components--> clusters
+
+Every stage checkpoints to a config-hash-keyed table with lineage +
+per-partition metrics (sources/checkpoint.py); a killed run resumes by
+skipping completed stages.  Stage plans:
+
+* sketch: narrow Arrow-vectorized map, zero shuffle; scales with splits.
+* bands: narrow projection + posexplode, zero shuffle.
+* candidates: ONE shuffle on (band_idx, band_key) under AQE skew-join;
+  `bucket_cap` bounds the worst (boilerplate) buckets and the dropped
+  volume is recorded in lineage.
+* edges: candidates join signatures twice on sig_id (sort-merge/AQE;
+  candidate side is orders of magnitude smaller than all-pairs).
+* clusters: iterative min-label joins; rounds ~ clone-family diameter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from .params import LSHParams, SketchParams
+from .sketch import sketch_signatures, with_sha256
+from .sources import checkpoint as ckpt
+from .operators import cluster as cluster_ops
+from .operators import lsh as lsh_ops
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    sketch: SketchParams
+    lsh: LSHParams
+    jaccard_threshold: float = 0.5
+    bucket_cap: int = 200
+    sig_id: str = "sig_id"
+
+    def config_hash(self) -> str:
+        blob = (
+            f"{self.sketch.config_hash()}|{self.lsh.num_bands}x"
+            f"{self.lsh.band_size}|{self.jaccard_threshold}|{self.bucket_cap}"
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    code_files: DataFrame,
+    base_dir: str,
+    config: PipelineConfig | None = None,
+    keep_cols: list[str] | None = None,
+    stop_after: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run (or resume) the full pipeline; returns the stage DataFrames.
+
+    `stop_after` ('signatures' | 'candidates' | 'edges') simulates a
+    mid-pipeline kill for resumability testing.
+    """
+    cfg = config or PipelineConfig(SketchParams(), LSHParams())
+    ch = cfg.config_hash()
+    sid = cfg.sig_id
+    keep = keep_cols if keep_cols is not None else [
+        c for c in code_files.columns if c != "content"
+    ]
+    out: dict[str, DataFrame] = {}
+
+    sigs, _ = ckpt.run_stage(
+        spark, base_dir, "signatures", ch,
+        lambda: sketch_signatures(
+            with_sha256(code_files), cfg.sketch,
+            keep_cols=keep + ["sha256"],
+        ),
+    )
+    out["signatures"] = sigs
+    if stop_after == "signatures":
+        return out
+
+    cands, _ = ckpt.run_stage(
+        spark, base_dir, "candidates", ch,
+        lambda: lsh_ops.candidate_pairs(
+            lsh_ops.band_signatures(sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid),
+            bucket_cap=cfg.bucket_cap,
+            sig_id=sid,
+        ),
+    )
+    out["candidates"] = cands
+    if stop_after == "candidates":
+        return out
+
+    edges, _ = ckpt.run_stage(
+        spark, base_dir, "edges", ch,
+        lambda: lsh_ops.verify_pairs(
+            cands, sigs, scaled=cfg.sketch.scaled, ksize=cfg.sketch.ksize,
+            threshold=cfg.jaccard_threshold, sig_id=sid,
+        ),
+    )
+    out["edges"] = edges
+    if stop_after == "edges":
+        return out
+
+    clusters, _ = ckpt.run_stage(
+        spark, base_dir, "clusters", ch,
+        lambda: cluster_ops.assign_clusters(sigs, edges, sig_id=sid),
+    )
+    out["clusters"] = clusters
+    return out
+
+
+def dup_pair_recall(edges: DataFrame, reference_pairs: DataFrame) -> float:
+    """Recall of the pipeline's verified pairs vs a reference pair set
+    (both keyed sig_id_a < sig_id_b) — the north rule's >=0.99 gate."""
+    total = reference_pairs.count()
+    if total == 0:
+        return 1.0
+    found = reference_pairs.join(
+        edges.select("sig_id_a", "sig_id_b"), ["sig_id_a", "sig_id_b"],
+        "left_semi",
+    ).count()
+    return found / total

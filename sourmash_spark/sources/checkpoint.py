@@ -1,0 +1,110 @@
+"""Checkpointed stage tables + per-partition lineage — the resumability layer
+required by the north rule (the reference has none; it re-runs, see SURVEY §4).
+
+Production shape: each stage is an Iceberg table keyed by config hash, written
+with idempotent MERGE; partition-level lineage rows make mid-pipeline restarts
+skip completed work.  In this sandbox (no Iceberg runtime jar) the same
+contract is implemented over parquet directories:
+
+* a stage's output lives at ``{base}/{stage}={config_hash}`` with Spark's
+  atomic ``_SUCCESS`` marker — the commit point;
+* a lineage row per stage run + per-partition metrics rows land under
+  ``{base}/_lineage`` (append-only);
+* ``run_stage`` skips recompute iff the marker exists (kill the job between
+  stages and re-run: finished stages are read back, unfinished re-execute).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+
+def stage_path(base: str, stage: str, config_hash: str) -> str:
+    return os.path.join(base, f"{stage}={config_hash}")
+
+
+def is_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _append_lineage(spark: SparkSession, base: str, rows: list[dict]) -> None:
+    path = os.path.join(base, "_lineage")
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "payload string"
+    ).withColumn("ts", F.current_timestamp())
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def read_lineage(spark: SparkSession, base: str) -> DataFrame:
+    path = os.path.join(base, "_lineage")
+    df = spark.read.parquet(path)
+    return df.select(
+        F.get_json_object("payload", "$.stage").alias("stage"),
+        F.get_json_object("payload", "$.config_hash").alias("config_hash"),
+        F.get_json_object("payload", "$.event").alias("event"),
+        F.get_json_object("payload", "$.n_rows").cast("long").alias("n_rows"),
+        F.get_json_object("payload", "$.wall_sec").cast("double").alias("wall_sec"),
+        F.get_json_object("payload", "$.partitions").alias("partitions"),
+        "ts",
+    )
+
+
+def partition_metrics(df: DataFrame) -> list[dict]:
+    """Per-partition row counts of a materialized stage output — the skew
+    evidence the north rule asks to measure, not assume."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("rows"))
+        .collect()
+    )
+    return [{"pid": int(r.pid), "rows": int(r.rows)} for r in rows]
+
+
+def run_stage(
+    spark: SparkSession,
+    base: str,
+    stage: str,
+    config_hash: str,
+    build: Callable[[], DataFrame],
+    partition_by: list[str] | None = None,
+    force: bool = False,
+) -> tuple[DataFrame, bool]:
+    """Materialize `build()` at the stage path unless already complete.
+
+    Returns (DataFrame read back from the checkpoint, skipped_recompute).
+    Reading back (rather than reusing the in-memory plan) makes every stage
+    restartable and cuts lineage for downstream stages.
+    """
+    path = stage_path(base, stage, config_hash)
+    if is_complete(path) and not force:
+        return spark.read.parquet(path), True
+    t0 = time.time()
+    df = build()
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    out = spark.read.parquet(path)
+    n = out.count()
+    wall = time.time() - t0
+    _append_lineage(
+        spark,
+        base,
+        [
+            {
+                "stage": stage,
+                "config_hash": config_hash,
+                "event": "complete",
+                "n_rows": n,
+                "wall_sec": round(wall, 3),
+                "partitions": json.dumps(partition_metrics(out)),
+            }
+        ],
+    )
+    return out, False

@@ -1,0 +1,96 @@
+"""End-to-end pipeline + resumability (kill mid-pipeline, restart, no
+recompute of finished stages) — the north rule's checkpoint/lineage gate."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from sourmash_spark.params import LSHParams, SketchParams
+from sourmash_spark.pipeline import PipelineConfig, dup_pair_recall, run_pipeline
+from sourmash_spark.sources import checkpoint as ckpt
+
+CFG = PipelineConfig(
+    sketch=SketchParams(ksize=21, scaled=50),
+    lsh=LSHParams(num_bands=16, band_size=2),
+    jaccard_threshold=0.5,
+)
+
+
+@pytest.fixture(scope="module")
+def base_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipeline"))
+
+
+def test_full_pipeline_and_recall(spark, corpus, base_dir):
+    df = spark.createDataFrame(corpus.code_files).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    out = run_pipeline(spark, df, base_dir, CFG)
+    assert set(out) == {"signatures", "candidates", "edges", "clusters"}
+    n_sigs = out["signatures"].count()
+    assert n_sigs == len(corpus.code_files)
+    assert out["clusters"].count() == n_sigs
+
+    # recall vs brute-force reference pair set at the same config
+    from sourmash_spark.operators.compare import compare_all_pairs
+
+    ref_pairs = compare_all_pairs(
+        out["signatures"], threshold=CFG.jaccard_threshold
+    ).select("sig_id_a", "sig_id_b")
+    recall = dup_pair_recall(out["edges"], ref_pairs)
+    assert recall >= 0.99
+
+    # exact duplicates must co-cluster: same md5 -> same cluster
+    sig_md5 = out["signatures"].select("sig_id", "md5")
+    cl = out["clusters"].join(sig_md5, "sig_id")
+    n_violations = (
+        cl.groupBy("md5")
+        .agg(
+            {"cluster_id": "min"},
+        )
+        .join(cl, "md5")
+        .filter("cluster_id != `min(cluster_id)`")
+        .count()
+    )
+    assert n_violations == 0
+
+    # lineage rows exist with per-partition metrics
+    lineage = ckpt.read_lineage(spark, base_dir)
+    stages = {r.stage for r in lineage.collect()}
+    assert {"signatures", "candidates", "edges", "clusters"} <= stages
+
+
+def test_resume_skips_completed_stages(spark, corpus, base_dir):
+    df = spark.createDataFrame(corpus.code_files).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    # "kill" after candidates: signatures+candidates exist from prior run
+    sig_path = ckpt.stage_path(base_dir, "signatures", CFG.config_hash())
+    mtime_before = os.path.getmtime(os.path.join(sig_path, "_SUCCESS"))
+    out = run_pipeline(spark, df, base_dir, CFG, stop_after="candidates")
+    assert os.path.getmtime(os.path.join(sig_path, "_SUCCESS")) == mtime_before
+
+    # full re-run: everything read back, nothing rebuilt
+    t0 = time.time()
+    out = run_pipeline(spark, df, base_dir, CFG)
+    resumed_wall = time.time() - t0
+    assert out["clusters"].count() > 0
+    assert os.path.getmtime(os.path.join(sig_path, "_SUCCESS")) == mtime_before
+
+
+def test_changed_config_recomputes(spark, corpus, base_dir):
+    cfg2 = PipelineConfig(
+        sketch=SketchParams(ksize=21, scaled=50),
+        lsh=LSHParams(num_bands=8, band_size=4),
+        jaccard_threshold=0.5,
+    )
+    assert cfg2.config_hash() != CFG.config_hash()
+    df = spark.createDataFrame(corpus.code_files).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    out = run_pipeline(spark, df, base_dir, cfg2, stop_after="signatures")
+    path = ckpt.stage_path(base_dir, "signatures", cfg2.config_hash())
+    assert ckpt.is_complete(path)
