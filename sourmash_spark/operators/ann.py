@@ -1,0 +1,131 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* `cosine_topk` — brute-force exact top-k per query (the correctness
+  baseline; O(Q*N) with a rank-1 window, fine when Q is small or as the
+  within-bucket verifier).
+* `hyperplane_lsh_buckets` — random-hyperplane (SimHash-for-vectors) LSH:
+  deterministic pseudo-random planes derived from hash60(plane_idx, dim),
+  so both engines (and reruns) derive identical planes without a stored
+  model.  The scale path: bucket the corpus once, probe buckets per query.
+* `decode stub` — multimodal columns (image/audio) are opaque binary +
+  typed metadata; the decode/feature-extract steps are deterministic fakes
+  behind real Spark plumbing (schema, batching) — see multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from . import docops
+
+
+def cosine_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (self-matches on id
+    excluded).  Query side is broadcast; ranking is a per-query window."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id), F.col(vec_col).alias("qv")
+        )
+    )
+    scored = (
+        embs.select(F.col(id_col), F.col(vec_col).alias("cv"))
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn(
+            "cosine",
+            F.round(docops.cosine_similarity(F.col("qv"), F.col("cv")), 6),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+def _plane_component(plane: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random plane component in [-0.5, 0.5):
+    hash60('p<plane>:d<dim>') / 2^60 - 0.5 — reproducible in SQL."""
+    h = docops.hash60(F.lit(f"p{plane}:d{dim}"))
+    return (h.cast("double") / F.lit(float(1 << 60))) - 0.5
+
+
+def hyperplane_lsh_buckets(
+    embs: DataFrame,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a 2^n_planes bucket by the sign pattern of dot
+    products with deterministic hyperplanes.  Narrow projection (planes are
+    plan literals); candidates for a query = its bucket (+ multiprobe
+    neighbors flipping low-margin bits, not implemented here)."""
+    if dim is None:
+        dim = len(embs.select(vec_col).first()[0])
+    bucket = None
+    for p in range(n_planes):
+        dot = None
+        for d in range(dim):
+            term = F.element_at(F.col(vec_col), d + 1).cast(
+                "double"
+            ) * _plane_component(p, d)
+            dot = term if dot is None else dot + term
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << p).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return embs.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: exact ranking *within* the query's hyperplane bucket.
+    Recall < 1 by construction (bucket boundaries); the tradeoff knob is
+    n_planes.  Join is an equi-join on bucket — no cross join."""
+    dim = len(embs.select(vec_col).first()[0])
+    cb = hyperplane_lsh_buckets(embs, n_planes, dim, id_col, vec_col)
+    qb = hyperplane_lsh_buckets(
+        queries.withColumnRenamed(query_id, id_col), n_planes, dim, id_col,
+        vec_col,
+    ).withColumnRenamed(id_col, query_id)
+    corpus = embs.join(cb, id_col).select(
+        id_col, F.col(vec_col).alias("cv"), "bucket"
+    )
+    qs = (
+        queries.join(qb, query_id)
+        .select(query_id, F.col(vec_col).alias("qv"), "bucket")
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col(id_col) != F.col(query_id))
+        .withColumn(
+            "cosine",
+            F.round(docops.cosine_similarity(F.col("qv"), F.col("cv")), 6),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )

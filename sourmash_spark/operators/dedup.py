@@ -1,0 +1,282 @@
+"""Deduplication operators for a training-data pipeline over `documents`.
+
+Each operator is a pure DataFrame plan; every one has a DuckDB oracle in
+``__spark_entry__.oracle_sql`` at the matching key.  Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from . import docops
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicates by content hash: one shuffle on md5(text) with
+    map-side combine.  Emits (canonical_id, n_copies, dup_ids) per duplicate
+    group (groups of one excluded)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.array_sort(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("content_md5", "canonical_id", "n_copies", "dup_ids")
+    )
+
+
+def minhash_sketch60(
+    docs: DataFrame,
+    k: int = 12,
+    scaled: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FracMinHash sketch with the SQL-portable hash60 (docops): per doc the
+    sorted distinct kept hashes.  Same algebra as the murmur engine; exists
+    so document-level dedup has a cross-engine oracle.  Narrow map + one
+    per-doc aggregation."""
+    mh = docops.max_hash60(scaled)
+    sh = docs.select(
+        F.col(id_col),
+        F.explode(docops.char_shingles(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    kept = sh.select(
+        id_col, docops.hash60(F.col("shingle")).alias("hashval")
+    ).filter(F.col("hashval") <= mh)
+    agg = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("hashval")).alias("hashes"),
+        F.count("*").alias("n_hashes"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("hashes", F.array().cast("array<long>")).alias("hashes"),
+            F.coalesce("n_hashes", F.lit(0)).cast("long").alias("n_hashes"),
+        )
+    )
+
+
+def minhash_pairs60(
+    sketches: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs jaccard over hash60 sketches (inverted-index join, same
+    plan as operators.compare.compare_all_pairs)."""
+    p = sketches.select(
+        F.col(id_col), F.col("n_hashes"), F.explode("hashes").alias("hashval")
+    )
+    a = p.select(
+        F.col(id_col).alias("id_a"), F.col("n_hashes").alias("size_a"), "hashval"
+    )
+    b = p.select(
+        F.col(id_col).alias("id_b"), F.col("n_hashes").alias("size_b"), "hashval"
+    )
+    return (
+        a.join(b, "hashval")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("intersect_hashes"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersect_hashes")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersect_hashes")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-n-gram jaccard near-dup pairs.  Inverted-index join on the
+    n-gram string itself (no sketching — the exactness baseline)."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(docops.word_ngrams(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    g = grams.join(sizes, id_col)
+    a = g.select(
+        F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"), "gram"
+    )
+    b = g.select(
+        F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"), "gram"
+    )
+    return (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+def lsh_bands60(
+    sketches: DataFrame,
+    num_bands: int = 8,
+    band_size: int = 2,
+    space: int = docops.HASH60_SPACE,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OPH band keys over hash60 sketches — the SQL-portable twin of
+    operators.lsh.band_signatures (band key = hash60 of the comma-joined
+    range minima instead of xxhash64).  Emits (doc_id, band_idx, band_key);
+    all-empty bands are dropped."""
+    m = num_bands * band_size
+    width = space // m + 1
+    rows = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(
+            F.array_min(
+                F.filter(
+                    F.col("hashes"),
+                    lambda h: F.floor(h / F.lit(width)) == i.cast("long"),
+                )
+            ),
+            F.lit(-1).cast("long"),
+        ),
+    )
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda j: F.slice(F.col("_rows"), j * band_size + 1, band_size),
+    )
+    return (
+        sketches.filter(F.col("n_hashes") > 0)
+        .withColumn("_rows", rows)
+        .select(
+            id_col,
+            F.posexplode(bands).alias("band_idx", "band_vals"),
+        )
+        .filter(F.array_max("band_vals") != F.lit(-1).cast("long"))
+        .select(
+            id_col,
+            "band_idx",
+            docops.hash60(
+                F.concat_ws(",", F.col("band_vals").cast("array<string>"))
+            ).alias("band_key"),
+        )
+    )
+
+
+SIMHASH_BITS = 60
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """60-bit SimHash over word tokens: bit b is the majority vote of bit b
+    across token hash60s.  One explode + one groupBy(doc) with 60 narrow
+    sums — all codegen'd; no UDF."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(docops.words(F.col(text_col))).alias("tok"),
+    ).withColumn("h", docops.hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(F.count("*").alias("n_toks"), *bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(
+            F.col(f"s{b}") * 2 >= F.col("n_toks"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long")
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"), "n_toks")
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance.
+
+    Blocking: split the 60-bit simhash into (max_hamming+1) chunks — two
+    values within `max_hamming` share at least one exact chunk (pigeonhole),
+    so the join is an equi-join on (chunk_idx, chunk_value), never a cross
+    join.  Verification = bit_count(xor) filter."""
+    n_chunks = max_hamming + 1
+    width = SIMHASH_BITS // n_chunks + (1 if SIMHASH_BITS % n_chunks else 0)
+    chunks = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "chunk_idx", "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.  Brute-force O(N^2) pair plan
+    for the correctness gate; the LSH-bucketed scale path is
+    operators.ann.hyperplane_lsh_buckets + within-bucket pairs."""
+    a = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(docops.cosine_similarity(F.col("va"), F.col("vb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

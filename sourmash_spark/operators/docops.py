@@ -1,0 +1,98 @@
+"""Shared column builders for document-table operators (dedup, text, ANN).
+
+These mirror the sketch engine's semantics with an **SQL-portable hash**:
+``hash60(s) = int(md5_hex(s)[:15], 16)`` — 60 bits, identical in Spark
+(`conv(substr(md5(s),1,15),16,10)`) and DuckDB
+(`('0x'||substr(md5(s),1,15))::BIGINT`).  The murmur64 path (bit-parity with
+the reference) lives in sketch.py; this path exists so every document-level
+operator has an independent cross-engine oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+import pyspark.sql.functions as F
+
+HASH60_SPACE = (1 << 60) - 1
+
+
+def max_hash60(scaled: int) -> int:
+    return HASH60_SPACE // scaled
+
+
+def hash60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB rendering of the same function."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def char_shingles(text: Column, k: int) -> Column:
+    """All k-char shingles (with duplicates, in position order)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    return F.filter(
+        F.transform(idx, lambda i: F.substring(text, i, k)),
+        lambda s: F.length(s) == k,
+    )
+
+
+def char_shingles_sql(expr: str, k: int) -> str:
+    """DuckDB rendering (range() excludes its stop, handles empty)."""
+    return (
+        f"list_filter(list_transform(range(1, greatest(length({expr})-{k}+2, 1)), "
+        f"i -> substring({expr}, i::int, {k})), s -> length(s) = {k})"
+    )
+
+
+def words(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0
+    )
+
+
+def words_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '\\s+'), "
+        f"w -> length(w) > 0)"
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams."""
+    w = words(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    return F.filter(
+        F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+        lambda s: F.size(F.split(s, " ")) == n,
+    )
+
+
+def word_ngrams_sql(expr: str, n: int) -> str:
+    w = words_sql(expr)
+    return (
+        f"(SELECT list_filter(list_transform(range(1, greatest(len(wlist)-{n}+2, 1)), "
+        f"i -> array_to_string(wlist[i:i+{n}-1], ' ')), "
+        f"s -> len(string_split(s, ' ')) = {n}) "
+        f"FROM (SELECT {w} AS wlist) _w)"
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float/double> columns — aggregate HOFs,
+    JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return dot / (norm(a) * norm(b))

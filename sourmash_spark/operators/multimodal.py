@@ -1,0 +1,70 @@
+"""Multimodal columns: image/audio/video as opaque `binary` + typed metadata.
+
+The decode/feature-extraction libraries are not in this container, so the
+decode step is a clearly-marked deterministic fake — but the Spark-side
+plumbing is real and tested: schema, Arrow batching via mapInPandas, batch
+shapes, partitioning.  Swap `_fake_decode` for a real decoder (PIL/ffmpeg)
+on a cluster with the libs installed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+FEATURE_DIM = 16
+
+
+def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive an opaque binary 'media' column + typed metadata from text —
+    a stand-in source for a corpus with real image/audio payloads."""
+    return docs.withColumn("media", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length("media").cast("long").alias("n_bytes"),
+            (F.length("media") % 640).cast("int").alias("width"),
+            (F.length("media") % 480).cast("int").alias("height"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE of an image decode + feature extraction.
+    Real implementation would be: PIL.Image.open -> resize -> model
+    features.  Here: sha256-seeded pseudo-features, stable across runs."""
+    if payload is None:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    digest = hashlib.sha256(payload).digest()
+    arr = np.frombuffer(digest[:FEATURE_DIM], dtype=np.uint8)
+    return (arr.astype(np.float32) / 255.0).astype(np.float32)
+
+
+def extract_features(
+    df: DataFrame, media_col: str = "media", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column — the real
+    production shape (mapInPandas; one Python worker call per batch, not
+    per row)."""
+    keep = keep_cols or [c for c in df.columns if c != media_col]
+    schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out["features"] = [
+                _fake_decode(p) for p in pdf[media_col]
+            ]
+            yield out
+
+    return df.select(*keep, media_col).mapInPandas(run, schema)

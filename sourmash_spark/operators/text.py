@@ -1,0 +1,133 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality scoring, language ID, winnowing fingerprints.  All pure column
+expressions / window functions — no Python in the hot path; every operator
+has a DuckDB oracle in __spark_entry__."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from . import docops
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "pour"],
+    "es": ["el", "la", "los", "y", "es", "no", "una", "en", "por", "que"],
+}
+
+
+def token_count(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (4 chars/token heuristic
+    over non-space length) — narrow projection."""
+    w = docops.words(F.col(text_col))
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    return docs.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_words"),
+        nonspace.cast("long").alias("n_nonspace_chars"),
+        F.ceil(nonspace / F.lit(4.0)).cast("long").alias("n_subword_est"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality metrics: length, punctuation ratio, stopword ratio,
+    mean word length, distinct-word ratio."""
+    w = docops.words(F.col(text_col))
+    n_words = F.size(w)
+    stop = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(w, stop))
+    punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+        F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(
+            F.size(F.array_intersect(F.array_distinct(w), stop))
+            / F.greatest(F.size(F.array_distinct(w)), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.aggregate(
+                w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+            )
+            / F.greatest(n_words, F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.array_distinct(w)) / F.greatest(n_words, F.lit(1)), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language guess: argmax over per-language distinct-
+    stopword hits; 'und' (undetermined) when no list hits."""
+    w = F.array_distinct(docops.words(F.col(text_col)))
+    hits = [
+        F.size(
+            F.array_intersect(w, F.array([F.lit(s) for s in stops]))
+        ).alias(f"hits_{lang}")
+        for lang, stops in LANG_STOPWORDS.items()
+    ]
+    scored = docs.select(F.col(id_col), *hits)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{la}") for la in langs])
+    guess = F.when(best <= 0, F.lit("und"))
+    for la in langs:  # first max wins, deterministic order
+        guess = guess.when(F.col(f"hits_{la}") == best, F.lit(la))
+    return scored.select(
+        id_col, guess.alias("lang_guess"), best.alias("best_hits")
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.): hash every k-gram
+    (rolling hash stand-in = hash60), take the min of each sliding window of
+    `window` consecutive k-gram hashes, count distinct selected hashes.
+    Implemented with posexplode + a row-range window function."""
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(docops.char_shingles(F.col(text_col), k)).alias(
+            "pos", "gram"
+        ),
+    ).withColumn("h", docops.hash60(F.col("gram")))
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    n_grams = Window.partitionBy(id_col)
+    fp = (
+        grams.withColumn("win_min", F.min("h").over(win))
+        .withColumn("max_pos", F.max("pos").over(n_grams))
+        # windows that would run past the end are not emitted
+        .filter(F.col("pos") <= F.col("max_pos") - (window - 1))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("win_min").cast("long").alias("n_fingerprints"),
+            F.min("win_min").alias("min_fingerprint"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(fp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
+            "min_fingerprint",
+        )
+    )
