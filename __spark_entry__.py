@@ -62,8 +62,12 @@ def _sketch60(spark, sf_dir) -> DataFrame:
 
 
 def _murmur_sigs(spark, sf_dir) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").alias("sig_id"), F.col("text").alias("content")
+    from sourmash_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("sig_id"), F.col("text").alias("content")
+        )
     )
     return sketch_signatures(docs, MURMUR_PARAMS, keep_cols=["sig_id"])
 

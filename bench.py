@@ -1,0 +1,155 @@
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "sigs_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from sourmash_spark.session import get_spark
+    from sourmash_spark.operators import dedup as dedup_ops
+    from sourmash_spark.operators import text as text_ops
+    from sourmash_spark.operators.cluster import assign_clusters
+    from sourmash_spark.operators.compare import compare_all_pairs
+    from sourmash_spark.operators.lsh import (
+        band_signatures,
+        candidate_pairs,
+        verify_pairs,
+    )
+
+    spark = get_spark(
+        "sourmash_spark_bench", master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    P = entrymod.MURMUR_PARAMS
+    L = entrymod.MURMUR_LSH
+    qtimes: dict[str, float] = {}
+    n_docs = 0
+
+    # untimed warmup: spawn+import the Python UDF workers on every core so
+    # timings below measure steady-state throughput, not cold start
+    entrymod._murmur_sigs(spark, sf_dir).count()
+
+    def timed(name, fn):
+        nonlocal qtimes
+        t0 = time.time()
+        out = fn()
+        qtimes[name] = round(time.time() - t0, 3)
+        return out
+
+    # signature throughput (the north-rule headline)
+    def q_sketch():
+        sigs = entrymod._murmur_sigs(spark, sf_dir)
+        return sigs.count()
+
+    n_docs = timed("sketch_murmur", q_sketch)
+    sigs_per_sec = round(n_docs / qtimes["sketch_murmur"], 1)
+
+    # full pipeline: sketch -> bands -> candidates -> verify -> cluster
+    def q_pipeline():
+        sigs = entrymod._murmur_sigs(spark, sf_dir).cache()
+        bands = band_signatures(sigs, L, scaled=P.scaled)
+        cands = candidate_pairs(bands, bucket_cap=500)
+        edges = verify_pairs(cands, sigs, scaled=P.scaled, ksize=P.ksize,
+                             threshold=0.5)
+        n = assign_clusters(sigs, edges).count()
+        sigs.unpersist()
+        return n
+
+    timed("pipeline_cluster", q_pipeline)
+
+    def q_compare():
+        return compare_all_pairs(
+            entrymod._murmur_sigs(spark, sf_dir), threshold=0.25
+        ).count()
+
+    timed("compare_all_pairs", q_compare)
+
+    from sourmash_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+    timed(
+        "simhash_pairs",
+        lambda: dedup_ops.simhash_pairs(
+            dedup_ops.simhash(docs), max_hamming=12
+        ).count(),
+    )
+    timed(
+        "ngram_jaccard",
+        lambda: dedup_ops.ngram_jaccard_pairs(docs, n=3, threshold=0.2).count(),
+    )
+    timed("text_quality", lambda: text_ops.quality_score(docs).count())
+    timed(
+        "winnow", lambda: text_ops.winnow_fingerprints(docs, k=8, window=4).count()
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from sourmash_spark.operators.ann import cosine_topk
+
+    timed(
+        "ann_topk",
+        lambda: cosine_topk(
+            embs,
+            embs.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            k=5,
+        ).count(),
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    timed(
+        "rel_q1",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count("*"))
+        .count(),
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    timed(
+        "events_windowed",
+        lambda: ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*"))
+        .count(),
+    )
+
+    total = round(sum(qtimes.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "n_docs": n_docs,
+                "sigs_per_sec": sigs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

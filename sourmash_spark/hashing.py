@@ -122,9 +122,13 @@ def hash_murmur(data: bytes | str, seed: int = DEFAULT_SEED) -> int:
 # ---------------------------------------------------------------------------
 
 def _read_u64_cols(win: np.ndarray, off: int) -> np.ndarray:
-    """Little-endian uint64 from 8 consecutive byte columns of (N, L) uint8."""
+    """Little-endian uint64 from 8 consecutive byte columns of (N, L) uint8.
+    Always returns a fresh writable array (callers mutate it in place)."""
     block = np.ascontiguousarray(win[:, off : off + 8])
-    return block.view("<u8").ravel()
+    out = block.view("<u8").ravel()
+    if not out.flags.writeable or np.shares_memory(out, win):
+        out = out.copy()
+    return out
 
 
 def _tail_u64(win: np.ndarray, off: int, nbytes: int) -> np.ndarray:
@@ -149,66 +153,102 @@ def _fmix64_vec(k: np.ndarray) -> np.ndarray:
     return k
 
 
-def murmur64_fixed(windows: np.ndarray, seed: int = DEFAULT_SEED) -> np.ndarray:
-    """Vectorized murmur3_x64_128 low-64 over an (N, L) uint8 array of
-    fixed-length keys.  Returns uint64[N]."""
-    if windows.ndim != 2:
-        raise ValueError("windows must be 2-D (N, L) uint8")
+def _rotl64_inplace(x: np.ndarray, r: int, tmp: np.ndarray) -> None:
+    np.right_shift(x, np.uint64(64 - r), out=tmp)
+    np.left_shift(x, np.uint64(r), out=x)
+    np.bitwise_or(x, tmp, out=x)
+
+
+def _fmix64_inplace(k: np.ndarray, tmp: np.ndarray) -> None:
+    np.right_shift(k, np.uint64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+    np.multiply(k, np.uint64(0xFF51AFD7ED558CCD), out=k)
+    np.right_shift(k, np.uint64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+    np.multiply(k, np.uint64(0xC4CEB9FE1A85EC53), out=k)
+    np.right_shift(k, np.uint64(33), out=tmp)
+    np.bitwise_xor(k, tmp, out=k)
+
+
+def _murmur64_fixed_chunk(windows: np.ndarray, seed: int) -> np.ndarray:
+    """One cache-sized chunk; all arithmetic in place (memory traffic, not
+    FLOPs, bounds this kernel — avoid temporaries)."""
     n, length = windows.shape
     c1 = np.uint64(_C1)
     c2 = np.uint64(_C2)
     h1 = np.full(n, seed, dtype=np.uint64)
     h2 = np.full(n, seed, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
 
     nblocks = length // 16
     for b in range(nblocks):
         k1 = _read_u64_cols(windows, b * 16)
         k2 = _read_u64_cols(windows, b * 16 + 8)
 
-        k1 = k1 * c1
-        k1 = _rotl64_vec(k1, 31)
-        k1 = k1 * c2
-        h1 = h1 ^ k1
-        h1 = _rotl64_vec(h1, 27)
-        h1 = h1 + h2
-        h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+        np.multiply(k1, c1, out=k1)
+        _rotl64_inplace(k1, 31, tmp)
+        np.multiply(k1, c2, out=k1)
+        np.bitwise_xor(h1, k1, out=h1)
+        _rotl64_inplace(h1, 27, tmp)
+        np.add(h1, h2, out=h1)
+        np.multiply(h1, np.uint64(5), out=h1)
+        np.add(h1, np.uint64(0x52DCE729), out=h1)
 
-        k2 = k2 * c2
-        k2 = _rotl64_vec(k2, 33)
-        k2 = k2 * c1
-        h2 = h2 ^ k2
-        h2 = _rotl64_vec(h2, 31)
-        h2 = h2 + h1
-        h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+        np.multiply(k2, c2, out=k2)
+        _rotl64_inplace(k2, 33, tmp)
+        np.multiply(k2, c1, out=k2)
+        np.bitwise_xor(h2, k2, out=h2)
+        _rotl64_inplace(h2, 31, tmp)
+        np.add(h2, h1, out=h2)
+        np.multiply(h2, np.uint64(5), out=h2)
+        np.add(h2, np.uint64(0x38495AB5), out=h2)
 
     tl = length - nblocks * 16
     off = nblocks * 16
     if tl > 8:
         k2 = _tail_u64(windows, off + 8, tl - 8)
-        k2 = k2 * c2
-        k2 = _rotl64_vec(k2, 33)
-        k2 = k2 * c1
-        h2 = h2 ^ k2
+        np.multiply(k2, c2, out=k2)
+        _rotl64_inplace(k2, 33, tmp)
+        np.multiply(k2, c1, out=k2)
+        np.bitwise_xor(h2, k2, out=h2)
     if tl > 0:
         k1 = (
             _read_u64_cols(windows, off)
             if tl >= 8
             else _tail_u64(windows, off, tl)
         )
-        k1 = k1 * c1
-        k1 = _rotl64_vec(k1, 31)
-        k1 = k1 * c2
-        h1 = h1 ^ k1
+        np.multiply(k1, c1, out=k1)
+        _rotl64_inplace(k1, 31, tmp)
+        np.multiply(k1, c2, out=k1)
+        np.bitwise_xor(h1, k1, out=h1)
 
     ln = np.uint64(length)
-    h1 = h1 ^ ln
-    h2 = h2 ^ ln
-    h1 = h1 + h2
-    h2 = h2 + h1
-    h1 = _fmix64_vec(h1)
-    h2 = _fmix64_vec(h2)
-    h1 = h1 + h2
+    np.bitwise_xor(h1, ln, out=h1)
+    np.bitwise_xor(h2, ln, out=h2)
+    np.add(h1, h2, out=h1)
+    np.add(h2, h1, out=h2)
+    _fmix64_inplace(h1, tmp)
+    _fmix64_inplace(h2, tmp)
+    np.add(h1, h2, out=h1)
     return h1
+
+
+def murmur64_fixed(
+    windows: np.ndarray, seed: int = DEFAULT_SEED, chunk: int = 1 << 19
+) -> np.ndarray:
+    """Vectorized murmur3_x64_128 low-64 over an (N, L) uint8 array of
+    fixed-length keys.  Returns uint64[N].  Processes in cache-sized chunks
+    with in-place arithmetic — the kernel is memory-bandwidth bound."""
+    if windows.ndim != 2:
+        raise ValueError("windows must be 2-D (N, L) uint8")
+    n = windows.shape[0]
+    if n <= chunk:
+        return _murmur64_fixed_chunk(windows, seed)
+    out = np.empty(n, dtype=np.uint64)
+    for a in range(0, n, chunk):
+        b = min(a + chunk, n)
+        out[a:b] = _murmur64_fixed_chunk(windows[a:b], seed)
+    return out
 
 
 def ascii_upper(buf: np.ndarray) -> np.ndarray:

@@ -40,15 +40,14 @@ def connected_components(
         .withColumn("label", F.col("v"))
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
-        # min neighbor label per vertex
+    def propagate(lbls):
         msgs = (
-            sym.join(labels.withColumnRenamed("v", "a"), "a")
+            sym.join(lbls.withColumnRenamed("v", "a"), "a")
             .groupBy(F.col("b").alias("v"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(msgs, "v", "left")
+        return (
+            lbls.join(msgs, "v", "left")
             .select(
                 "v",
                 F.least(
@@ -56,16 +55,24 @@ def connected_components(
                 ).alias("label"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+
+    for it in range(max_iter):
+        new_labels = propagate(labels)
+        # convergence check is a full driver round trip — only every 2nd
+        # round (label propagation monotonically descends, an extra round
+        # is harmless)
+        if it % 2 == 1 or it == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "v")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
 
     return labels.select(
         F.col("v").alias("sig_id"), F.col("label").alias("cluster_id")

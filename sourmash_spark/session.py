@@ -20,6 +20,7 @@ def get_spark(
     app_name: str = "sourmash_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SOURMASH_SPARK_MASTER", f"local[{cpus}]")
@@ -39,7 +40,21 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Repartition a DataFrame up to the session's default parallelism when
+    it has fewer input splits (a single small parquet file reads as ONE
+    split, serializing every narrow stage after it).  At cluster scale the
+    input has natural splits and this is a no-op."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def add_pyfiles(spark: SparkSession) -> str:

@@ -74,18 +74,25 @@ def batch_sketch(
     if arr.size < k:
         return [(np.empty(0, np.uint64), np.empty(0, np.int64)) for _ in lens]
 
-    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-    # valid window start indices: for doc i, [starts[i], starts[i]+n_windows[i])
     total = int(n_windows.sum())
     if total == 0:
         return [(np.empty(0, np.uint64), np.empty(0, np.int64)) for _ in lens]
-    # vectorized ragged range: global window index -> buffer offset
-    doc_of_window = np.repeat(np.arange(len(lens)), n_windows)
-    within = np.arange(total) - np.repeat(
-        np.concatenate([[0], np.cumsum(n_windows)[:-1]]), n_windows
-    )
-    win_idx = starts[doc_of_window] + within
-    hashes = murmur64_fixed(np.ascontiguousarray(windows[win_idx]), params.seed)
+    # hash EVERY window of the concatenated buffer (boundary-crossing ones
+    # included — ~k extra per doc, <2% waste), then drop the crossers by
+    # mask: masking 8-byte hashes beats gathering 21-byte windows.
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+    all_hashes = murmur64_fixed(windows, params.seed)
+    valid = np.ones(windows.shape[0], dtype=bool)
+    ends = np.cumsum(lens)
+    for i in range(len(lens) - 1):  # windows starting in the k-1 tail bytes
+        lo = max(int(ends[i]) - (k - 1), int(starts[i]))
+        valid[lo : int(ends[i])] = False
+    # also windows starting inside a doc too short for one full window
+    short = n_windows == 0
+    if short.any():
+        for i in np.nonzero(short)[0]:
+            valid[int(starts[i]) : int(ends[i])] = False
+    hashes = all_hashes[valid[: all_hashes.size]]
 
     out: list[tuple[np.ndarray, np.ndarray]] = []
     bounds = np.concatenate([[0], np.cumsum(n_windows)])
