@@ -1,0 +1,106 @@
+"""Collection management — the reference's `sig cat/split/rename/extract/
+describe/manifest/fileinfo` family (sig/__main__.py:114-377, 715-828,
+1310-1668) as thin DataFrame transforms.  Listed explicitly so the operator
+inventory maps 1:1; each is deliberately trivial in Spark."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def cat(*collections: DataFrame) -> DataFrame:
+    """`sig cat` — concatenate collections (schema-aligned union)."""
+    out = collections[0]
+    for c in collections[1:]:
+        out = out.unionByName(c, allowMissingColumns=True)
+    return out
+
+
+def dedup_by_md5(sigs: DataFrame) -> DataFrame:
+    """`sig cat --unique` — drop duplicate sketches by identity md5."""
+    return sigs.dropDuplicates(["md5"])
+
+
+def rename(sigs: DataFrame, new_name: str | F.Column) -> DataFrame:
+    """`sig rename` — set the name column."""
+    col = F.lit(new_name) if isinstance(new_name, str) else new_name
+    return sigs.withColumn("name", col)
+
+
+def extract(
+    sigs: DataFrame,
+    md5_prefix: str | None = None,
+    name_pattern: str | None = None,
+    picklist: DataFrame | None = None,
+    picklist_col: str = "md5",
+    exclude: bool = False,
+) -> DataFrame:
+    """`sig extract` — select by md5 prefix, name regex, and/or picklist
+    (include = broadcast left-semi join, exclude = left-anti;
+    picklist.py:54-166 semantics)."""
+    out = sigs
+    if md5_prefix:
+        out = out.filter(F.col("md5").startswith(md5_prefix))
+    if name_pattern:
+        out = out.filter(F.col("name").rlike(name_pattern))
+    if picklist is not None:
+        how = "left_anti" if exclude else "left_semi"
+        out = out.join(F.broadcast(picklist), on=picklist_col, how=how)
+    return out
+
+
+def split(sigs: DataFrame, partition_col: str = "md5") -> DataFrame:
+    """`sig split` — one sketch per output unit; in Spark this is a
+    partitioned write, so just return the frame repartitioned by identity
+    (writer does .partitionBy)."""
+    return sigs.repartition(F.col(partition_col))
+
+
+def describe(sigs: DataFrame) -> DataFrame:
+    """`sig describe` — per-signature summary rows."""
+    return sigs.select(
+        "md5",
+        "name" if "name" in sigs.columns else F.lit(None).alias("name"),
+        "ksize",
+        "moltype",
+        "num",
+        "scaled",
+        "n_hashes",
+        F.when(F.size("abunds") > 0,
+               F.array_max("abunds") > 1).otherwise(F.lit(False)).alias(
+            "with_abundance"
+        ),
+    )
+
+
+def manifest(sigs: DataFrame) -> DataFrame:
+    """The 11-column CollectionManifest (manifest.py:15-41) derived from a
+    signatures table — the manifest IS the table in this engine."""
+    return sigs.select(
+        F.input_file_name().alias("internal_location"),
+        "md5",
+        F.substring("md5", 1, 8).alias("md5short"),
+        "ksize",
+        "moltype",
+        "num",
+        "scaled",
+        "n_hashes",
+        F.when(F.size("abunds") > 0,
+               F.array_max("abunds") > 1).otherwise(F.lit(False)).alias(
+            "with_abundance"
+        ),
+        (F.col("name") if "name" in sigs.columns else F.lit("")).alias("name"),
+        (F.col("filename") if "filename" in sigs.columns else F.lit("")).alias(
+            "filename"
+        ),
+    )
+
+
+def summarize(sigs: DataFrame) -> DataFrame:
+    """`sig summarize` / `sig fileinfo` — group manifest rows by sketch
+    config (sig/__main__.py:1310-1341)."""
+    return sigs.groupBy("ksize", "moltype", "scaled", "num").agg(
+        F.count("*").alias("n_signatures"),
+        F.sum("n_hashes").alias("total_hashes"),
+    )

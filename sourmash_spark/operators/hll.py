@@ -1,0 +1,52 @@
+"""HyperLogLog cardinality — the reference's HLL sketch
+(/root/reference/src/sourmash/hll.py:12-112, src/core/src/sketch/hyperloglog/)
+replaced by Spark's native estimators (the reference itself wants this —
+minhash.py:1126 TODO).
+
+* `approx_count_distinct` — HLL++ aggregate (cheap, no sketch state).
+* `hll_sketch_agg` / `hll_union_agg` (Spark 3.5+ Datasketches HLL) — when a
+  *mergeable* sketch must be stored per group and unioned later, which is
+  the actual role of the reference's HLL (cardinality of unions without
+  re-reading data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def approx_cardinality(
+    df: DataFrame, group_cols: list[str], value_col: str, rsd: float = 0.05
+) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_cardinality")
+    )
+
+
+def hll_sketches(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Store a mergeable HLL sketch per group (binary column)."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll"),
+    )
+
+
+def hll_union_cardinality(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union sketches across a coarser grouping and estimate cardinality —
+    the analog of the reference's HLL merge + cardinality()."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hll"))).alias(
+            "union_cardinality"
+        )
+    )
+
+
+def hashes_cardinality(sigs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Distinct-hash cardinality across sketch groups (the `as_hll` use in
+    minhash.rs:759-767): explode + HLL aggregate, no exact shuffle-dedup."""
+    ex = sigs.select(*group_cols, F.explode("hashes").alias("h"))
+    return approx_cardinality(ex, group_cols, "h")

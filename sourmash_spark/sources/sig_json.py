@@ -1,0 +1,179 @@
+"""Signature JSON interop — the reference's `.sig` format v0.4
+(/root/reference/src/sourmash/signature.py:19,383-527 and
+src/core/src/sketch/minhash.rs:103-171, behavior only).
+
+Format: a JSON array of records, each
+``{"class": "sourmash_signature", "email": "", "hash_function":
+"0.murmur64", "filename": ..., "name"?: ..., "license": "CC0",
+"signatures": [{"num", "ksize", "seed", "max_hash", "mins",
+"md5sum", "abundances"?, "molecule"}], "version": 0.4}``.
+
+On load the reference re-sorts mins and sets ``num := 0`` when
+``max_hash != 0`` (minhash.rs:150-171) — mirrored here.  u64 mins are
+JSON numbers; they round-trip through Python ints exactly (no float step).
+
+Export/import are DataFrame <-> JSON-lines (one signature record per row) —
+the distributed form of a .sig file; ``to_sig_file`` concatenates for a
+bit-for-bit sourmash-readable artifact.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.types as T
+
+from ..hashing import (
+    i64_to_u64,
+    max_hash_for_scaled,
+    scaled_for_max_hash,
+    u64_to_i64,
+)
+from ..params import SketchParams
+
+SIGNATURE_VERSION = 0.4
+
+_MOLTYPE_TO_JSON = {"code": "protein", "dna": "dna", "protein": "protein"}
+
+
+def export_signatures_json(
+    sigs: DataFrame, name_col: str | None = None, filename_col: str | None = None
+) -> DataFrame:
+    """signatures DataFrame -> one v0.4 JSON record string per row
+    (column `sig_json`).  Arrow-batched; no shuffle."""
+    cols = [c for c in sigs.columns]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                mins = i64_to_u64(
+                    np.asarray(r["hashes"], dtype=np.int64)
+                ).tolist()
+                sig: dict = {
+                    "num": int(r["num"]),
+                    "ksize": int(r["ksize"]) * (3 if r["moltype"] == "code" else 1),
+                    "seed": int(r["seed"]),
+                    "max_hash": max_hash_for_scaled(int(r["scaled"]))
+                    if int(r["scaled"])
+                    else 0,
+                    "mins": mins,
+                    "md5sum": r["md5"],
+                    "molecule": _MOLTYPE_TO_JSON.get(r["moltype"], "protein"),
+                }
+                if r.get("abunds") is not None and len(r["abunds"]) and any(
+                    a != 1 for a in r["abunds"]
+                ):
+                    sig["abundances"] = [int(a) for a in r["abunds"]]
+                rec = {
+                    "class": "sourmash_signature",
+                    "email": "",
+                    "hash_function": "0.murmur64",
+                    "filename": (r[filename_col] if filename_col else None),
+                    "license": "CC0",
+                    "signatures": [sig],
+                    "version": SIGNATURE_VERSION,
+                }
+                if name_col:
+                    rec["name"] = r[name_col]
+                out.append(json.dumps(rec, sort_keys=True))
+            yield pd.DataFrame({"sig_json": out})
+
+    return sigs.select(*cols).mapInPandas(run, "sig_json string")
+
+
+IMPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("md5", T.StringType()),
+        T.StructField("ksize", T.IntegerType()),
+        T.StructField("scaled", T.LongType()),
+        T.StructField("num", T.IntegerType()),
+        T.StructField("seed", T.LongType()),
+        T.StructField("moltype", T.StringType()),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+        T.StructField("abunds", T.ArrayType(T.LongType())),
+        T.StructField("n_hashes", T.IntegerType()),
+    ]
+)
+
+
+def import_signatures_json(df: DataFrame, json_col: str = "sig_json") -> DataFrame:
+    """JSON record strings -> signatures DataFrame (one row per contained
+    sketch).  Load semantics parity: mins re-sorted unsigned, num zeroed
+    when max_hash set."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for s in pdf[json_col]:
+                rec = json.loads(s)
+                recs = rec if isinstance(rec, list) else [rec]
+                for r in recs:
+                    for sig in r.get("signatures", []):
+                        mins = np.array(sig.get("mins", []), dtype=np.uint64)
+                        mins.sort()
+                        max_hash = int(sig.get("max_hash", 0))
+                        num = 0 if max_hash else int(sig.get("num", 0))
+                        molecule = sig.get("molecule", "dna")
+                        ksize = int(sig["ksize"])
+                        if molecule != "dna":
+                            ksize //= 3
+                        ab = sig.get("abundances")
+                        abunds = (
+                            np.asarray(ab, dtype=np.int64)
+                            if ab is not None
+                            else np.ones(mins.size, dtype=np.int64)
+                        )
+                        rows.append(
+                            {
+                                "name": r.get("name"),
+                                "filename": r.get("filename"),
+                                "md5": sig.get("md5sum"),
+                                "ksize": np.int32(ksize),
+                                "scaled": np.int64(
+                                    scaled_for_max_hash(max_hash)
+                                ),
+                                "num": np.int32(num),
+                                "seed": np.int64(sig.get("seed", 42)),
+                                "moltype": "code"
+                                if molecule == "protein"
+                                else molecule,
+                                "hashes": u64_to_i64(mins),
+                                "abunds": abunds,
+                                "n_hashes": np.int32(mins.size),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMPORT_SCHEMA.fields],
+            )
+
+    return df.mapInPandas(run, IMPORT_SCHEMA)
+
+
+def to_sig_file(sigs: DataFrame, path: str, **kw) -> None:
+    """Collect and write ONE sourmash-readable .sig file (tiny collections
+    only — the distributed form is the JSON-lines DataFrame)."""
+    records = [
+        json.loads(r["sig_json"])
+        for r in export_signatures_json(sigs, **kw).collect()
+    ]
+    with open(path, "w") as f:
+        json.dump(records, f, sort_keys=True)
+
+
+def from_sig_file(spark: SparkSession, path: str) -> DataFrame:
+    with open(path) as f:
+        data = json.load(f)
+    recs = data if isinstance(data, list) else [data]
+    df = spark.createDataFrame(
+        [(json.dumps(r),) for r in recs], "sig_json string"
+    )
+    return import_signatures_json(df)
