@@ -58,11 +58,17 @@ def search(
     score = _score(mode, inter, size_q, size_m, scaled)
 
     name_col = db["name"] if "name" in db.columns else F.col(sig_id).cast("string")
+    # reference passes(): score must be nonzero AND >= threshold
+    # (search.py:127-136); when threshold > 0 the second check subsumes the
+    # first — skip it so the plan evaluates the kernel once per row
+    passes = (
+        F.col("similarity") >= threshold
+        if threshold > 0
+        else (F.col("similarity") > 0.0) & (F.col("similarity") >= threshold)
+    )
     out = (
         db.withColumn("similarity", score)
-        # reference passes(): score must be nonzero AND >= threshold
-        # (search.py:127-136)
-        .filter((F.col("similarity") > 0.0) & (F.col("similarity") >= threshold))
+        .filter(passes)
         .select(
             F.col(sig_id),
             "similarity",

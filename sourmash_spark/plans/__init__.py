@@ -1,0 +1,1 @@
+"""Plan-level design notes live in PLANS.md (audited physical plans)."""

@@ -1,0 +1,122 @@
+"""Streaming sketch maintenance — the reference's `watch` command
+(/root/reference/src/sourmash/commands.py:1389-1483): build a sketch
+incrementally from a record stream and report the running best match.
+
+Spark shape: ``readStream -> applyInPandasWithState`` keeping the growing
+hash set per stream key as state; each trigger emits the updated sketch
+summary.  The reference's periodic best-only search maps to a foreachBatch
+join against a broadcast signatures table (see `attach_best_match`).
+
+State is bounded: scaled-mode state is the kept-hash set (∝ content/scaled);
+num-mode keeps only the bottom-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..params import SketchParams
+from ..sketch import batch_sketch, sketch_md5
+from ..hashing import i64_to_u64, u64_to_i64
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_hashes", T.IntegerType()),
+        T.StructField("md5", T.StringType()),
+        T.StructField("hashes", T.ArrayType(T.LongType())),
+    ]
+)
+
+STATE_SCHEMA = "hashes array<long>, n_records long"
+
+
+def watch(
+    stream: DataFrame,
+    params: SketchParams | None = None,
+    key_col: str = "key",
+    content_col: str = "content",
+) -> DataFrame:
+    """Streaming DataFrame (key, content) -> per-trigger updated sketches."""
+    params = params or SketchParams()
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (prev_hashes, n_records) = state.get
+            acc = i64_to_u64(np.array(prev_hashes, dtype=np.int64))
+        else:
+            acc = np.empty(0, dtype=np.uint64)
+            n_records = 0
+        for pdf in pdfs:
+            sketches = batch_sketch(pdf[content_col], params)
+            n_records += len(pdf)
+            for h, _ in sketches:
+                acc = np.union1d(acc, h)
+        if params.num and acc.size > params.num:
+            acc = acc[: params.num]
+        signed = u64_to_i64(acc).tolist()
+        state.update((signed, n_records))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "n_records": n_records,
+                    "n_hashes": int(acc.size),
+                    "md5": sketch_md5(acc, params.md5_ksize),
+                    "hashes": signed,
+                }
+            ]
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def attach_best_match(
+    sketches: DataFrame, db: DataFrame, mode: str = "jaccard",
+    scaled: int | None = None,
+) -> DataFrame:
+    """Per-batch best-only search of running sketches against a signatures
+    table (the reference's periodic SBT search, best-only) — intended for
+    use inside foreachBatch."""
+    from ..operators.search import search_many
+    from pyspark.sql import Window
+
+    hits = search_many(
+        db,
+        sketches.select(
+            F.col("key").alias("query_id"),
+            "hashes",
+            F.col("n_hashes"),
+        ),
+        threshold=0.0,
+        mode=mode,
+        scaled=scaled,
+        query_id="query_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"))
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
