@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 from ..hashing import i64_to_u64
 from .prefetch import prefetch
@@ -57,6 +58,145 @@ def _ani(c: float, k: int) -> float:
     if c >= 1.0:
         return 1.0
     return c ** (1.0 / k)
+
+
+def _greedy_rounds(
+    query: np.ndarray,
+    cands: dict,
+    scaled: int,
+    ksize: int,
+    min_hashes: int,
+    md5_of: dict,
+) -> list[dict]:
+    """Shared greedy min-set-cov core over numpy hash sets (CounterGather
+    peek/consume semantics); returns row dicts in rank order."""
+    remaining = query.copy()
+    results = []
+    rank = 0
+    orig_len = int(query.size)
+    while cands and remaining.size:
+        best_id, best_ov = None, -1
+        for cid in sorted(cands, key=lambda c: md5_of[c]):
+            ov = int(np.intersect1d(cands[cid], remaining).size)
+            if ov > best_ov:
+                best_id, best_ov = cid, ov
+        if best_ov < min_hashes or best_ov <= 0:
+            break
+        match = cands.pop(best_id)
+        found = np.intersect1d(remaining, match)
+        orig_inter = int(np.intersect1d(query, match).size)
+        f_match = _contained(found.size, match.size, scaled)
+        q_ani = _ani(_contained(found.size, remaining.size, scaled), ksize)
+        m_ani = _ani(f_match, ksize)
+        results.append(
+            {
+                "sig_id": best_id,
+                "md5": md5_of[best_id],
+                "gather_result_rank": rank,
+                "intersect_bp": orig_inter * scaled,
+                "unique_intersect_bp": int(found.size) * scaled,
+                "f_orig_query": orig_inter / orig_len if orig_len else 0.0,
+                "f_match": f_match,
+                "f_unique_to_query": found.size / orig_len if orig_len else 0.0,
+                "remaining_bp": int(remaining.size - found.size) * scaled,
+                "query_containment_ani": q_ani,
+                "match_containment_ani": m_ani,
+            }
+        )
+        remaining = np.setdiff1d(remaining, match)
+        rank += 1
+    return results
+
+
+def multigather(
+    queries: DataFrame,
+    db: DataFrame,
+    scaled: int,
+    ksize: int = 21,
+    threshold_bp: int = 0,
+    query_id: str = "query_id",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """Gather for MANY queries at once (reference `multigather`,
+    commands.py:1124-1386) — the distributed form.
+
+    Stage 1 (cluster): broadcast query postings -> one hash equi-join ->
+    per-(query, subject) overlap counts filtered by threshold — candidate
+    generation for all queries in one shuffle.
+    Stage 2 (cluster): candidates join subject hash arrays, groupBy query,
+    applyInPandas runs the greedy rounds per query *in parallel across
+    queries* — each group holds only that query's candidates (the same
+    state the reference keeps on its driver, sharded by query).
+    """
+    import pyspark.sql.types as T
+
+    min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
+
+    qp = F.broadcast(
+        queries.select(
+            F.col(query_id), F.explode("hashes").alias("hashval")
+        )
+    )
+    dp = db.select(F.col(sig_id), F.explode("hashes").alias("hashval"))
+    cand_ids = (
+        dp.join(qp, "hashval")
+        .groupBy(query_id, sig_id)
+        .agg(F.count("*").alias("overlap"))
+        .filter(F.col("overlap") >= min_hashes)
+    )
+    cands = cand_ids.join(
+        db.select(
+            sig_id, F.col("md5").alias("match_md5"),
+            F.col("hashes").alias("match_hashes"),
+        ),
+        sig_id,
+    ).join(
+        F.broadcast(
+            queries.select(query_id, F.col("hashes").alias("query_hashes"))
+        ),
+        query_id,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, T.LongType()),
+            T.StructField(sig_id, T.LongType()),
+            T.StructField("md5", T.StringType()),
+            T.StructField("gather_result_rank", T.IntegerType()),
+            T.StructField("intersect_bp", T.LongType()),
+            T.StructField("unique_intersect_bp", T.LongType()),
+            T.StructField("f_orig_query", T.DoubleType()),
+            T.StructField("f_match", T.DoubleType()),
+            T.StructField("f_unique_to_query", T.DoubleType()),
+            T.StructField("remaining_bp", T.LongType()),
+            T.StructField("query_containment_ani", T.DoubleType()),
+            T.StructField("match_containment_ani", T.DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf[query_id].iloc[0]
+        query = i64_to_u64(
+            np.asarray(pdf["query_hashes"].iloc[0], dtype=np.int64)
+        )
+        cmap = {
+            int(r[sig_id]): i64_to_u64(
+                np.asarray(r["match_hashes"], dtype=np.int64)
+            )
+            for _, r in pdf.iterrows()
+        }
+        md5_of = {int(r[sig_id]): r["match_md5"] for _, r in pdf.iterrows()}
+        rows = _greedy_rounds(
+            np.unique(query), cmap, scaled, ksize, min_hashes, md5_of
+        )
+        for r in rows:
+            r[query_id] = qid
+            r[sig_id] = r.pop("sig_id")
+        return pd.DataFrame(
+            rows, columns=[f.name for f in out_schema.fields]
+        )
+
+    return cands.groupBy(query_id).applyInPandas(run, out_schema)
 
 
 def gather(

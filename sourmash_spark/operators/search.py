@@ -134,6 +134,27 @@ def search_many(
     )
 
 
+def search_abund(
+    db: DataFrame,
+    query_hashes: list[int],
+    query_abunds: list[int],
+    threshold: float = 0.08,
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """Abundance-weighted search: angular similarity >= threshold, sorted
+    desc (reference Index.search_abund, index/__init__.py:172-200).  Query
+    hash->abund map is a plan literal; narrow scan like `search`."""
+    qh = F.lit(query_hashes).cast("array<long>")
+    qa = F.lit([int(a) for a in query_abunds]).cast("array<long>")
+    sim = kernels.angular_similarity(F.col("hashes"), F.col("abunds"), qh, qa)
+    return (
+        db.withColumn("similarity", sim)
+        .filter((F.col("similarity") > 0.0) & (F.col("similarity") >= threshold))
+        .select(sig_id, "similarity", "md5")
+        .orderBy(F.desc("similarity"), "md5")
+    )
+
+
 def categorize(
     sigs: DataFrame, db: DataFrame, threshold: float = 0.08,
     sig_id: str = "sig_id", query_id: str = "query_id",

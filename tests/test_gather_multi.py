@@ -1,0 +1,123 @@
+"""multigather + abundance search vs the oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sourmash_spark.hashing import u64_to_i64
+from sourmash_spark.oracle import MinHash, sketch_text
+from sourmash_spark.params import SketchParams
+from sourmash_spark.sketch import sketch_signatures
+from sourmash_spark.operators.gather import gather, multigather
+from sourmash_spark.operators.search import search_abund
+
+PARAMS = SketchParams(ksize=21, scaled=50)
+
+
+@pytest.fixture(scope="module")
+def oracle_sketches(corpus):
+    return {
+        int(r.file_id): sketch_text(r.content, PARAMS)
+        for r in corpus.code_files.itertuples()
+    }
+
+
+@pytest.fixture(scope="module")
+def sigs(spark, corpus):
+    df = spark.createDataFrame(corpus.code_files).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    out = sketch_signatures(df, PARAMS, keep_cols=["sig_id"]).cache()
+    out.count()
+    return out
+
+
+def test_multigather_matches_single_gather(spark, sigs, oracle_sketches):
+    # two composite queries from distinct families
+    comps = {100: [0, 30], 101: [10, 45]}
+    qrows = []
+    for qid, members in comps.items():
+        mh = oracle_sketches[members[0]].copy()
+        for m in members[1:]:
+            mh.merge(oracle_sketches[m])
+        qrows.append(
+            (qid, u64_to_i64(np.array(mh.mins, dtype=np.uint64)).tolist())
+        )
+    queries = spark.createDataFrame(
+        qrows, "query_id long, hashes array<long>"
+    )
+    min_bp = PARAMS.scaled * 3
+    multi = multigather(
+        queries, sigs, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+        threshold_bp=min_bp,
+    ).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(comps)
+    for qid, (_, qh) in zip(comps, qrows):
+        single = gather(
+            spark, sigs, qh, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+            threshold_bp=min_bp,
+        ).collect()
+        got = sorted(by_q[qid], key=lambda r: r["gather_result_rank"])
+        assert [r["md5"] for r in got] == [r["md5"] for r in single]
+        assert [r["unique_intersect_bp"] for r in got] == [
+            r["unique_intersect_bp"] for r in single
+        ]
+        assert [r["f_unique_to_query"] for r in got] == pytest.approx(
+            [r["f_unique_to_query"] for r in single]
+        )
+
+
+def test_search_abund_matches_oracle(spark, corpus):
+    p = SketchParams(ksize=21, scaled=50, track_abundance=True)
+    df = spark.createDataFrame(corpus.code_files).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    sigs = sketch_signatures(df, p, keep_cols=["sig_id"]).cache()
+    oracles = {
+        int(r.file_id): sketch_text(r.content, p)
+        for r in corpus.code_files.head(30).itertuples()
+    }
+    q = oracles[0]
+    qh = u64_to_i64(np.array(q.mins, dtype=np.uint64)).tolist()
+    qa = [q.hashes[h] for h in q.mins]
+    res = {
+        r["sig_id"]: r["similarity"]
+        for r in search_abund(sigs, qh, qa, threshold=0.1).collect()
+        if r["sig_id"] in oracles
+    }
+    for fid, mh in oracles.items():
+        want = q.angular_similarity(mh)
+        if want >= 0.1:
+            assert res[fid] == pytest.approx(want, abs=1e-9), fid
+        else:
+            assert fid not in res
+
+
+def test_categorize_best_match(spark, sigs, oracle_sketches):
+    from sourmash_spark.operators.search import categorize
+
+    res = {
+        r["query_id"]: (r["sig_id"], r["similarity"])
+        for r in categorize(sigs, sigs, threshold=0.05).collect()
+    }
+    # oracle: best non-self (by md5) jaccard match for a few queries
+    ids = sorted(oracle_sketches)
+    for qid in ids[:10]:
+        q = oracle_sketches[qid]
+        best = None
+        for oid in ids:
+            m = oracle_sketches[oid]
+            if m.md5sum() == q.md5sum():
+                continue
+            j = q.jaccard(m)
+            if j >= 0.05 and (best is None or j > best[1] + 1e-15):
+                best = (oid, j)
+        if best is None:
+            assert qid not in res
+        else:
+            assert qid in res, qid
+            assert res[qid][1] == pytest.approx(best[1], abs=1e-12)
