@@ -1,0 +1,115 @@
+"""ANI distance/CI numerics vs the reference's pinned test values
+(tests/test_distance_utils.py) — scipy-free implementation."""
+
+from __future__ import annotations
+
+import pytest
+
+from sourmash_spark.distances import (
+    ANIEstimate,
+    binom_cdf,
+    containment_to_distance,
+    jaccard_to_distance,
+    probit,
+    set_size_chernoff,
+    set_size_exact_prob,
+    size_is_accurate,
+)
+
+
+def test_probit_known_values():
+    assert probit(0.975) == pytest.approx(1.959963984540054, abs=1e-9)
+    assert probit(0.5) == pytest.approx(0.0, abs=1e-12)
+    assert probit(0.025) == pytest.approx(-1.959963984540054, abs=1e-9)
+
+
+def test_containment_to_distance_scaled100():
+    # reference pinned: contain=0.1, scaled=100, nkmers=10000, k=31
+    res = containment_to_distance(0.1, 31, 100, 10000, estimate_ci=True)
+    assert res.dist == pytest.approx(0.07158545548052564, abs=1e-12)
+    assert res.dist_low == pytest.approx(0.05320779238601372, abs=1e-5)
+    assert res.dist_high == pytest.approx(0.09055547672455365, abs=1e-5)
+    assert res.p_nothing_in_common == pytest.approx(4.3171247410658655e-05, rel=1e-9)
+
+
+def test_containment_to_distance_scaled100_2():
+    res = containment_to_distance(0.5, 21, 100, 10000, estimate_ci=True)
+    assert res.dist == pytest.approx(0.032468221476108394, abs=1e-12)
+    assert res.dist_low == pytest.approx(0.023712063916639017, abs=1e-5)
+    assert res.dist_high == pytest.approx(0.04309960543965866, abs=1e-5)
+
+
+def test_containment_edge_cases():
+    res0 = containment_to_distance(0, 21, 1, 10000, estimate_ci=True)
+    assert (res0.dist, res0.dist_low, res0.dist_high) == (1.0, 1.0, 1.0)
+    assert res0.p_nothing_in_common == 1.0
+    assert res0.ani == 0.0
+    res1 = containment_to_distance(1, 21, 1, 10000, estimate_ci=True)
+    assert (res1.dist, res1.ani) == (0.0, 1.0)
+    assert res1.p_nothing_in_common == 0.0
+
+
+def test_set_size_chernoff_mathematica():
+    # reference pinned (values from Mathematica)
+    assert set_size_chernoff(1000000, 10, relative_error=0.01) == pytest.approx(
+        0.928652, abs=1e-6
+    )
+    assert set_size_chernoff(10000, 1, relative_error=0.05) == pytest.approx(
+        0.999519, abs=1e-6
+    )
+
+
+def test_set_size_exact_prob_mathematica():
+    assert set_size_exact_prob(100, 2, relative_error=0.05) == pytest.approx(
+        0.382701, abs=1e-3
+    )
+    assert set_size_exact_prob(200, 5, relative_error=0.15) == pytest.approx(
+        0.749858, abs=1e-3
+    )
+    assert set_size_exact_prob(10, 10, relative_error=0.10) == pytest.approx(
+        0.38742, abs=1e-3
+    )
+
+
+def test_size_is_accurate():
+    # large sketch at moderate scaled -> accurate; tiny sketch -> not
+    assert size_is_accurate(n_hashes=5000, scaled=100)
+    assert not size_is_accurate(n_hashes=3, scaled=100)
+
+
+def test_jaccard_to_distance():
+    res = jaccard_to_distance(0.9, 21, 100, 10000)
+    assert res.dist == pytest.approx(
+        1.0 - (2 * 0.9 / 1.9) ** (1 / 21), abs=1e-12
+    )
+    assert res.jaccard_error is not None and res.jaccard_error >= 0
+    assert res.ani == 1.0 - res.dist
+
+
+def test_binom_cdf_sanity():
+    # symmetric binomial: P(X <= n/2) ~ slightly over 0.5
+    assert binom_cdf(5, 10, 0.5) == pytest.approx(0.623046875, abs=1e-12)
+    assert binom_cdf(10, 10, 0.5) == pytest.approx(1.0, abs=1e-9)
+    assert binom_cdf(-1, 10, 0.5) == 0.0
+
+
+def test_with_containment_ani_ci_dataframe(spark):
+    import pyspark.sql.functions as F
+    from sourmash_spark.distances import with_containment_ani_ci
+
+    df = spark.createDataFrame(
+        [(0.1, 100), (0.5, 100)], "containment double, n_hashes int"
+    )
+    out = {
+        round(r["containment"], 2): r
+        for r in with_containment_ani_ci(
+            df, "containment", "n_hashes", ksize=31, scaled=100
+        ).collect()
+    }
+    ref = containment_to_distance(0.1, 31, 100, 10000, estimate_ci=True)
+    assert out[0.1]["ani"] == pytest.approx(ref.ani, abs=1e-12)
+    assert out[0.1]["ani_low"] == pytest.approx(ref.ani_low, abs=1e-9)
+    assert out[0.1]["ani_high"] == pytest.approx(ref.ani_high, abs=1e-9)
+    assert out[0.1]["p_nothing_in_common"] == pytest.approx(
+        ref.p_nothing_in_common, rel=1e-9
+    )
