@@ -248,14 +248,15 @@ def simhash_pairs(
     return (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
         )
+        # filter BEFORE the dedup shuffle: hamming is a cheap per-row
+        # expression, distinct() is the expensive exchange
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
