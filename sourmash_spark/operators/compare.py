@@ -56,8 +56,24 @@ def compare_all_pairs(
     requested score column) with sig_id_a < sig_id_b; pairs below
     `threshold` (or sharing no hash) are dropped.
 
+    Mixed-resolution collections are downsampled to the common (max)
+    scaled first — the reference's compare semantics
+    (commands.py:165-197, flatten_and_downsample_scaled).
+
     mode: jaccard | containment (a in b) | max_containment | avg_containment
     """
+    if "scaled" in sigs.columns:
+        scaled_vals = [
+            r["scaled"] for r in sigs.select("scaled").distinct().collect()
+        ]
+        if len(scaled_vals) > 1:
+            from .setops import downsample_signatures
+
+            common = int(max(scaled_vals))
+            sigs = downsample_signatures(sigs, common)
+            scaled = scaled or common
+        elif scaled is None and scaled_vals:
+            scaled = int(scaled_vals[0])
     sizes = sigs.select(
         F.col(sig_id).alias("_sid"), F.col("n_hashes").alias("_n")
     )

@@ -125,6 +125,39 @@ def downsample_num(sigs: DataFrame, new_num: int) -> DataFrame:
     )
 
 
+def overlap_report(
+    sigs: DataFrame, sig_id_a, sig_id_b, scaled: int, sig_id: str = "sig_id"
+) -> DataFrame:
+    """`sig overlap` — detailed two-signature report (sig/__main__.py:379-456):
+    jaccard, both containments, set sizes, disjoint counts, union size."""
+    from . import kernels
+
+    a = sigs.filter(F.col(sig_id) == sig_id_a).select(
+        F.col("hashes").alias("ha"), F.col("n_hashes").alias("size_a")
+    )
+    b = sigs.filter(F.col(sig_id) == sig_id_b).select(
+        F.col("hashes").alias("hb"), F.col("n_hashes").alias("size_b")
+    )
+    ha, hb = F.col("ha"), F.col("hb")
+    return a.crossJoin(b).select(
+        F.lit(sig_id_a).alias("sig_id_a"),
+        F.lit(sig_id_b).alias("sig_id_b"),
+        kernels.jaccard(ha, hb).alias("jaccard"),
+        kernels.contained_by(ha, hb, F.lit(scaled)).alias(
+            "containment_a_in_b"
+        ),
+        kernels.contained_by(hb, ha, F.lit(scaled)).alias(
+            "containment_b_in_a"
+        ),
+        "size_a",
+        "size_b",
+        kernels.intersect_size(ha, hb).alias("intersect_hashes"),
+        kernels.union_size(ha, hb).alias("union_hashes"),
+        F.size(F.array_except(ha, hb)).alias("only_in_a"),
+        F.size(F.array_except(hb, ha)).alias("only_in_b"),
+    )
+
+
 def inflate(sigs: DataFrame, donor_hashes: Column, donor_abunds: Column) -> DataFrame:
     """Take abundances from a donor sketch over the intersection
     (minhash.rs:800-829): keep only hashes present in donor, with donor's

@@ -1,0 +1,101 @@
+"""Set ops, overlap report, mixed-scaled compare, and skew-guard evidence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.oracle import sketch_text
+from sourmash_spark.params import LSHParams, SketchParams
+from sourmash_spark.sketch import sketch_signatures
+from sourmash_spark.operators import lsh as lsh_ops
+from sourmash_spark.operators import setops
+from sourmash_spark.operators.compare import compare_all_pairs
+
+PARAMS = SketchParams(ksize=21, scaled=50)
+
+
+@pytest.fixture(scope="module")
+def sigs(spark, corpus):
+    df = spark.createDataFrame(corpus.code_files).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    out = sketch_signatures(df, PARAMS, keep_cols=["sig_id"]).cache()
+    out.count()
+    return out
+
+
+def test_overlap_report(spark, sigs, corpus):
+    o0 = sketch_text(corpus.code_files.loc[0, "content"], PARAMS)
+    o1 = sketch_text(corpus.code_files.loc[1, "content"], PARAMS)
+    row = setops.overlap_report(sigs, 0, 1, scaled=PARAMS.scaled).collect()[0]
+    assert row["jaccard"] == pytest.approx(o0.jaccard(o1), abs=1e-12)
+    assert row["containment_a_in_b"] == pytest.approx(
+        o0.contained_by(o1), abs=1e-9
+    )
+    assert row["intersect_hashes"] == len(set(o0.mins) & set(o1.mins))
+    assert row["union_hashes"] == len(set(o0.mins) | set(o1.mins))
+    assert row["only_in_a"] == len(set(o0.mins) - set(o1.mins))
+
+
+def test_merge_intersect_subtract_spark(spark, sigs, corpus):
+    two = sigs.filter(F.col("sig_id") < 2).withColumn("g", F.lit(1))
+    merged = setops.merge_signatures(two, ["g"]).collect()[0]
+    o0 = sketch_text(corpus.code_files.loc[0, "content"], PARAMS)
+    o1 = sketch_text(corpus.code_files.loc[1, "content"], PARAMS)
+    u = o0.copy()
+    u.merge(o1)
+    assert merged["hashes"] == u.mins
+    inter = setops.intersect_signatures(two, ["g"]).collect()[0]
+    assert inter["hashes"] == sorted(set(o0.mins) & set(o1.mins))
+
+
+def test_compare_mixed_scaled_downsamples(spark, sigs, corpus):
+    # half the collection at scaled=200: compare must downsample all to 200
+    coarse = setops.downsample_signatures(
+        sigs.filter(F.col("sig_id") % 2 == 0), 200
+    )
+    mixed = sigs.filter(F.col("sig_id") % 2 == 1).unionByName(coarse)
+    got = {
+        (r.sig_id_a, r.sig_id_b): r.jaccard
+        for r in compare_all_pairs(mixed, threshold=0.3).collect()
+    }
+    p200 = SketchParams(ksize=21, scaled=200)
+    oracle = {
+        int(r.file_id): sketch_text(r.content, p200)
+        for r in corpus.code_files.itertuples()
+    }
+    for (a, b), v in got.items():
+        assert v == pytest.approx(oracle[a].jaccard(oracle[b]), abs=1e-12)
+
+
+def test_boilerplate_skew_guard(spark, corpus):
+    """The shared license header creates mega-buckets; bucket_cap bounds
+    them and the lineage stats expose them (north rule: measured)."""
+    from sourmash_spark.synth import LICENSE_HEADER
+
+    # corpus with 100% boilerplate makes header bands near-universal
+    import pandas as pd
+
+    pdf = corpus.code_files.copy()
+    pdf["content"] = LICENSE_HEADER + pdf["content"]
+    df = spark.createDataFrame(pdf).withColumnRenamed("file_id", "sig_id")
+    sigs = sketch_signatures(df, PARAMS, keep_cols=["sig_id"]).cache()
+    bands = lsh_ops.band_signatures(sigs, LSHParams(16, 2), PARAMS.scaled)
+    stats = lsh_ops.bucket_stats(bands)
+    biggest = stats.agg(F.max("bucket_size")).collect()[0][0]
+    n = sigs.count()
+    assert biggest > n * 0.5, "expected a boilerplate mega-bucket"
+
+    uncapped = lsh_ops.candidate_pairs(bands).count()
+    capped = lsh_ops.candidate_pairs(bands, bucket_cap=20).count()
+    assert capped < uncapped
+    # capping must not lose real near-dup pairs (verified at threshold)
+    edges_capped = lsh_ops.verify_pairs(
+        lsh_ops.candidate_pairs(bands, bucket_cap=20), sigs,
+        scaled=PARAMS.scaled, threshold=0.8,
+    ).count()
+    edges_brute = compare_all_pairs(sigs, threshold=0.8).count()
+    assert edges_capped >= 0.99 * edges_brute

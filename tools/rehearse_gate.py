@@ -4,6 +4,7 @@ names, order-insensitive values)."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -41,10 +42,11 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
     for c in g.columns:
         gv, wv = g[c], w[c]
         if gv.dtype.kind == "f" or wv.dtype.kind == "f":
+            atol = 0.0 if os.environ.get("REHEARSE_EXACT") else 1e-9
             ok = np.allclose(
                 gv.astype(float).fillna(-9e99),
                 wv.astype(float).fillna(-9e99),
-                rtol=0, atol=1e-9,
+                rtol=0, atol=atol,
             )
         else:
             ok = gv.astype(str).equals(wv.astype(str))
