@@ -34,6 +34,20 @@ def connected_components(
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
 
+    # size the per-round shuffles to the graph, not the session default:
+    # label tables are tiny relative to the corpus and tiny-partition
+    # overhead dominates round latency otherwise
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_edges // 100_000 + 1,
+        ),
+    )
+    sym = sym.repartition(parts, "a").localCheckpoint(eager=True)
+
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()

@@ -124,6 +124,36 @@ def angular_similarity(
     ).otherwise(1.0 - 2.0 * F.acos(cos) / F.lit(3.141592653589793))
 
 
+def _unsigned_cmp(l: Column, r: Column) -> Column:
+    """Comparator for array_sort: unsigned order over i64 bit patterns
+    (num-mode hashes span the full u64 space, so negatives sort AFTER
+    positives)."""
+    lk = l.bitwiseXOR(F.lit(-(2**63)).cast("long"))
+    rk = r.bitwiseXOR(F.lit(-(2**63)).cast("long"))
+    return (
+        F.when(lk < rk, F.lit(-1)).when(lk > rk, F.lit(1)).otherwise(F.lit(0))
+    )
+
+
+def unsigned_sort(hashes: Column) -> Column:
+    return F.array_sort(hashes, _unsigned_cmp)
+
+
+def num_union(a: Column, b: Column, num: int) -> Column:
+    """num-mode union = merged sketch truncated to the `num` smallest by
+    unsigned value (minhash.rs:432-516 merge + truncation)."""
+    return F.slice(unsigned_sort(F.array_union(a, b)), 1, num)
+
+
+def jaccard_num(a: Column, b: Column, num: int) -> Column:
+    """num-mode jaccard: |A ∩ B ∩ U_num| / |U_num| where U_num is the
+    truncated merged sketch (minhash.rs:560-621 — the denominator is NOT
+    the plain union)."""
+    u = num_union(a, b, num)
+    inter = F.size(F.array_intersect(F.array_intersect(a, b), u))
+    return F.when(F.size(u) > 0, inter / F.size(u)).otherwise(F.lit(0.0))
+
+
 def downsample_hashes(hashes: Column, new_scaled: int) -> Column:
     """Re-filter to a larger scaled — pure projection, no shuffle
     (minhash.rs:777-798).  Valid for new_scaled >= 2 (kept hashes are then

@@ -99,3 +99,39 @@ def test_boilerplate_skew_guard(spark, corpus):
     ).count()
     edges_brute = compare_all_pairs(sigs, threshold=0.8).count()
     assert edges_capped >= 0.99 * edges_brute
+
+
+def test_num_mode_jaccard_kernel(spark, corpus):
+    """num-mode truncated-union jaccard as a Spark expression must equal the
+    oracle (incl. hashes >= 2**63, i.e. negative i64 bit patterns)."""
+    from sourmash_spark.operators import kernels
+    from sourmash_spark.oracle import MinHash
+    from sourmash_spark.hashing import u64_to_i64
+
+    num = 30
+    p = SketchParams(ksize=21, scaled=0, num=num)
+    texts = corpus.code_files["content"].head(8).tolist()
+    oracles = [sketch_text(t, p) for t in texts]
+    rows = [
+        (i, u64_to_i64(np.array(o.mins, dtype=np.uint64)).tolist())
+        for i, o in enumerate(oracles)
+    ]
+    df = spark.createDataFrame(rows, "sig_id int, hashes array<long>")
+    a = df.selectExpr("sig_id AS ia", "hashes AS ha")
+    b = df.selectExpr("sig_id AS ib", "hashes AS hb")
+    pairs = a.crossJoin(b).filter("ia < ib").select(
+        "ia", "ib",
+        kernels.jaccard_num(F.col("ha"), F.col("hb"), num).alias("j"),
+    )
+    got = {(r.ia, r.ib): r.j for r in pairs.collect()}
+    for (i, j), v in got.items():
+        assert v == pytest.approx(oracles[i].jaccard(oracles[j]), abs=1e-12), (i, j)
+
+    # pinned reference semantics: {1..5} vs {1,2,3,4,6} at num=5 -> 4/5
+    e1 = spark.createDataFrame([([1, 2, 3, 4, 5],)], "h1 array<long>")
+    v = e1.select(
+        kernels.jaccard_num(
+            F.col("h1"), F.lit([1, 2, 3, 4, 6]).cast("array<long>"), 5
+        ).alias("j")
+    ).collect()[0]["j"]
+    assert v == pytest.approx(4 / 5)
