@@ -340,6 +340,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["prefetch_stats60"] = prefetch_stats60
 
+    def abund_angular_pairs(spark, sf_dir):
+        """Angular (cosine-derived) similarity over abundance-weighted
+        hash60 sketches — the kernels.angular_similarity path, gate-checked.
+        Vectors: shingle-count per kept hash."""
+        docs = _docs(spark, sf_dir)
+        sh = docs.select(
+            "doc_id",
+            F.explode(docops.char_shingles(F.col("text"), K60)).alias("s"),
+        ).select("doc_id", docops.hash60(F.col("s")).alias("h"))
+        kept = sh.filter(F.col("h") <= MAX60)
+        vec = kept.groupBy("doc_id", "h").agg(
+            F.count("*").cast("double").alias("a")
+        )
+        norm = vec.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nrm")
+        )
+        va = vec.select(
+            F.col("doc_id").alias("id_a"), "h", F.col("a").alias("aa")
+        )
+        vb = vec.select(
+            F.col("doc_id").alias("id_b"), "h", F.col("a").alias("ab")
+        )
+        dots = (
+            va.join(vb, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("aa") * F.col("ab")).alias("dot"))
+        )
+        na = norm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+        nb = norm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+        out = (
+            dots.join(na, "id_a")
+            .join(nb, "id_b")
+            .withColumn(
+                "angular",
+                F.round(
+                    1.0
+                    - 2.0
+                    * F.acos(
+                        F.least(F.lit(1.0), F.col("dot") / (F.col("na") * F.col("nb")))
+                    )
+                    / F.lit(3.141592653589793),
+                    6,
+                ),
+            )
+            .filter(F.col("angular") >= 0.5)
+            .select("id_a", "id_b", "angular")
+        )
+        return out
+
+    q["abund_angular_pairs"] = abund_angular_pairs
+
     # --- murmur engine paths (rows-only: hash fn not SQL-expressible;
     #     semantics covered by hash60 twins + pytest parity suite) ---
     def sketch_murmur_stats(spark, sf_dir):
@@ -807,6 +859,32 @@ JOIN sizes s ON s.doc_id = h.doc_id
 WHERE h.intersect_hashes >= 3
 """
     )
+
+    o["abund_angular_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({SHINGLES_D("text", K60)}) AS s FROM documents
+), kept AS (
+  SELECT doc_id, {HASH60_D("s")} AS h FROM sh
+  WHERE {HASH60_D("s")} <= {MAX60}
+), vec AS (
+  SELECT doc_id, h, CAST(count(*) AS DOUBLE) AS a
+  FROM kept GROUP BY doc_id, h
+), nrm AS (
+  SELECT doc_id, sqrt(sum(a * a)) AS nrm FROM vec GROUP BY doc_id
+), dots AS (
+  SELECT va.doc_id AS id_a, vb.doc_id AS id_b, sum(va.a * vb.a) AS dot
+  FROM vec va JOIN vec vb ON va.h = vb.h AND va.doc_id < vb.doc_id
+  GROUP BY va.doc_id, vb.doc_id
+)
+SELECT d.id_a, d.id_b,
+       round(1.0 - 2.0 * acos(least(1.0, d.dot / (na.nrm * nb.nrm)))
+             / 3.141592653589793, 6) AS angular
+FROM dots d
+JOIN nrm na ON na.doc_id = d.id_a
+JOIN nrm nb ON nb.doc_id = d.id_b
+WHERE round(1.0 - 2.0 * acos(least(1.0, d.dot / (na.nrm * nb.nrm)))
+            / 3.141592653589793, 6) >= 0.5
+"""
 
     o["dedup_exact"] = """
 SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS canonical_id,
