@@ -94,3 +94,39 @@ def test_changed_config_recomputes(spark, corpus, base_dir):
     out = run_pipeline(spark, df, base_dir, cfg2, stop_after="signatures")
     path = ckpt.stage_path(base_dir, "signatures", cfg2.config_hash())
     assert ckpt.is_complete(path)
+
+
+def test_incremental_update_equals_full(spark, corpus, tmp_path):
+    """Incremental ingest must produce the same edges/clusters as a full
+    recompute over the combined corpus."""
+    from sourmash_spark.pipeline import incremental_update
+
+    base_a = str(tmp_path / "inc_base")
+    base_b = str(tmp_path / "full_base")
+    pdf = corpus.code_files
+    first = pdf[pdf.file_id < 40]
+    extra = pdf[pdf.file_id >= 40]
+    assert len(extra) > 5
+
+    df_first = spark.createDataFrame(first).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    df_extra = spark.createDataFrame(extra).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    df_all = spark.createDataFrame(pdf).withColumnRenamed("file_id", "sig_id")
+
+    run_pipeline(spark, df_first, base_a, CFG)
+    inc = incremental_update(spark, df_extra, base_a, CFG)
+    full = run_pipeline(spark, df_all, base_b, CFG)
+
+    inc_edges = {
+        (r.sig_id_a, r.sig_id_b) for r in inc["edges"].collect()
+    }
+    full_edges = {
+        (r.sig_id_a, r.sig_id_b) for r in full["edges"].collect()
+    }
+    assert inc_edges == full_edges
+    inc_cl = {r.sig_id: r.cluster_id for r in inc["clusters"].collect()}
+    full_cl = {r.sig_id: r.cluster_id for r in full["clusters"].collect()}
+    assert inc_cl == full_cl

@@ -74,3 +74,29 @@ def test_num_mode_sketch(spark, corpus):
     oracle = sketch_text(text, p)
     assert i64_to_u64(hashes).tolist() == oracle.mins
     assert len(oracle) <= 50
+
+
+def test_large_documents(spark):
+    """0.2-200KB content range (FIXTURES §1): big docs sketch correctly and
+    the vectorized path handles multi-chunk window counts."""
+    import numpy as np
+    import pandas as pd
+    from sourmash_spark.oracle import sketch_text
+
+    rng = np.random.default_rng(1)
+    big = "".join(
+        rng.choice(list("abcdefgh ()\n=+"), size=200_000).tolist()
+    )
+    small = "tiny"
+    df = spark.createDataFrame(
+        [(0, big), (1, small)], "file_id long, content string"
+    )
+    rows = {
+        r["file_id"]: r
+        for r in sketch_signatures(df, PARAMS, keep_cols=["file_id"]).collect()
+    }
+    oracle_big = sketch_text(big, PARAMS)
+    got = i64_to_u64(np.array(rows[0]["hashes"], dtype=np.int64)).tolist()
+    assert got == oracle_big.mins
+    assert rows[0]["n_hashes"] > 500
+    assert rows[1]["n_hashes"] == 0
