@@ -392,6 +392,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["abund_angular_pairs"] = abund_angular_pairs
 
+    def sig_overlap(spark, sf_dir):
+        """`sig overlap` twin: detailed 2-doc report over hash60 sketches."""
+        from sourmash_spark.operators import kernels
+
+        sk = _sketch60(spark, sf_dir)
+        a = sk.filter(F.col("doc_id") == 0).select(
+            F.col("hashes").alias("ha"), F.col("n_hashes").alias("size_a")
+        )
+        b = sk.filter(F.col("doc_id") == 1).select(
+            F.col("hashes").alias("hb"), F.col("n_hashes").alias("size_b")
+        )
+        ha, hb = F.col("ha"), F.col("hb")
+        return a.crossJoin(b).select(
+            F.lit(0).cast("long").alias("id_a"),
+            F.lit(1).cast("long").alias("id_b"),
+            kernels.jaccard(ha, hb).alias("jaccard"),
+            "size_a",
+            "size_b",
+            kernels.intersect_size(ha, hb).cast("long").alias("intersect_hashes"),
+            kernels.union_size(ha, hb).cast("long").alias("union_hashes"),
+            F.size(F.array_except(ha, hb)).cast("long").alias("only_in_a"),
+            F.size(F.array_except(hb, ha)).cast("long").alias("only_in_b"),
+        )
+
+    q["sig_overlap"] = sig_overlap
+
     # --- murmur engine paths (rows-only: hash fn not SQL-expressible;
     #     semantics covered by hash60 twins + pytest parity suite) ---
     def sketch_murmur_stats(spark, sf_dir):
@@ -884,6 +910,28 @@ JOIN nrm na ON na.doc_id = d.id_a
 JOIN nrm nb ON nb.doc_id = d.id_b
 WHERE round(1.0 - 2.0 * acos(least(1.0, d.dot / (na.nrm * nb.nrm)))
             / 3.141592653589793, 6) >= 0.5
+"""
+
+    o["sig_overlap"] = f"""
+{_KEPT60_CTE}, a AS (
+  SELECT h FROM kept WHERE doc_id = 0
+), b AS (
+  SELECT h FROM kept WHERE doc_id = 1
+)
+SELECT CAST(0 AS BIGINT) AS id_a, CAST(1 AS BIGINT) AS id_b,
+       CAST((SELECT count(*) FROM a JOIN b USING (h)) AS DOUBLE)
+         / (SELECT count(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+         AS jaccard,
+       (SELECT CAST(count(*) AS BIGINT) FROM a) AS size_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS size_b,
+       (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (h))
+         AS intersect_hashes,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM (SELECT h FROM a UNION SELECT h FROM b)) AS union_hashes,
+       (SELECT CAST(count(*) AS BIGINT) FROM a
+        WHERE h NOT IN (SELECT h FROM b)) AS only_in_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM b
+        WHERE h NOT IN (SELECT h FROM a)) AS only_in_b
 """
 
     o["dedup_exact"] = """

@@ -47,11 +47,17 @@ def main() -> None:
     # timings below measure steady-state throughput, not cold start
     entrymod._murmur_sigs(spark, sf_dir).count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     def timed(name, fn):
         nonlocal qtimes
-        t0 = time.time()
-        out = fn()
-        qtimes[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        out = None
+        for _ in range(reps):  # best-of-N: the host is shared and noisy
+            t0 = time.time()
+            out = fn()
+            best = min(best, time.time() - t0)
+        qtimes[name] = round(best, 3)
         return out
 
     # signature throughput (the north-rule headline)
