@@ -39,11 +39,16 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5
     bucket_cap: int = 200
     sig_id: str = "sig_id"
+    # >0: write the signatures checkpoint as a table bucketed by sig_id
+    # into this many buckets — verify-stage joins then skip the shuffle on
+    # the (big) signatures side
+    bucket_signatures: int = 0
 
     def config_hash(self) -> str:
         blob = (
             f"{self.sketch.config_hash()}|{self.lsh.num_bands}x"
             f"{self.lsh.band_size}|{self.jaccard_threshold}|{self.bucket_cap}"
+            f"|b{self.bucket_signatures}"
         )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
@@ -74,6 +79,11 @@ def run_pipeline(
         lambda: sketch_signatures(
             with_sha256(code_files), cfg.sketch,
             keep_cols=keep + ["sha256"],
+        ),
+        bucket_by=(
+            ([cfg.sig_id], cfg.bucket_signatures)
+            if cfg.bucket_signatures
+            else None
         ),
     )
     out["signatures"] = sigs

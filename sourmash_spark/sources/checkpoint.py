@@ -73,6 +73,7 @@ def run_stage(
     config_hash: str,
     build: Callable[[], DataFrame],
     partition_by: list[str] | None = None,
+    bucket_by: tuple[list[str], int] | None = None,
     force: bool = False,
 ) -> tuple[DataFrame, bool]:
     """Materialize `build()` at the stage path unless already complete.
@@ -80,17 +81,41 @@ def run_stage(
     Returns (DataFrame read back from the checkpoint, skipped_recompute).
     Reading back (rather than reusing the in-memory plan) makes every stage
     restartable and cuts lineage for downstream stages.
+
+    `bucket_by=(cols, n)` writes a bucketed table (parquet at the stage
+    path, metadata in the session catalog): downstream equi-joins on the
+    bucket columns skip the shuffle on this side — the Spark-native
+    replacement for the reference's on-disk inverted indexes (SURVEY §4).
+    On a real cluster the catalog (Hive/Iceberg) persists the bucketing
+    across jobs; the local session catalog loses it on restart, in which
+    case resume falls back to a plain parquet read (still correct).
     """
     path = stage_path(base, stage, config_hash)
+    table = f"ckpt_{stage}_{config_hash}"
     if is_complete(path) and not force:
+        if bucket_by and spark.catalog.tableExists(table):
+            return spark.read.table(table), True
         return spark.read.parquet(path), True
     t0 = time.time()
     df = build()
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
-    out = spark.read.parquet(path)
+    if bucket_by:
+        cols, n = bucket_by
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(n, *cols)
+            .sortBy(*cols)
+            .saveAsTable(table)
+        )
+        out = spark.read.table(table)
+    else:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = spark.read.parquet(path)
     n = out.count()
     wall = time.time() - t0
     _append_lineage(

@@ -130,3 +130,45 @@ def test_incremental_update_equals_full(spark, corpus, tmp_path):
     inc_cl = {r.sig_id: r.cluster_id for r in inc["clusters"].collect()}
     full_cl = {r.sig_id: r.cluster_id for r in full["clusters"].collect()}
     assert inc_cl == full_cl
+
+
+def test_bucketed_signatures_skip_join_shuffle(spark, corpus, tmp_path):
+    """bucket_signatures writes a sig_id-bucketed table; the verify-stage
+    join must then scan it without an Exchange on the signatures side."""
+    import pyspark.sql.functions as F
+    from sourmash_spark.params import LSHParams, SketchParams
+    from sourmash_spark.pipeline import PipelineConfig
+
+    cfg = PipelineConfig(
+        sketch=SketchParams(ksize=21, scaled=50),
+        lsh=LSHParams(num_bands=16, band_size=2),
+        jaccard_threshold=0.5,
+        bucket_signatures=4,
+    )
+    base = str(tmp_path / "bucketed")
+    df = spark.createDataFrame(corpus.code_files).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    out = run_pipeline(spark, df, base, cfg)
+    assert out["clusters"].count() == len(corpus.code_files)
+
+    # the checkpointed signatures table is bucketed: a self-equi-join on
+    # sig_id plans with zero Exchanges
+    sigs = spark.read.table(f"ckpt_signatures_{cfg.config_hash()}")
+    # force SMJ (a table this small would broadcast, which hides bucketing)
+    j = sigs.alias("l").join(sigs.alias("r").hint("merge"), "sig_id").select(
+        "sig_id", F.col("l.n_hashes")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Bucketed: true" in plan
+
+    # results identical to the unbucketed run
+    base2 = str(tmp_path / "plain")
+    cfg2 = PipelineConfig(
+        sketch=cfg.sketch, lsh=cfg.lsh, jaccard_threshold=0.5
+    )
+    out2 = run_pipeline(spark, df, base2, cfg2)
+    a = {(r.sig_id, r.cluster_id) for r in out["clusters"].collect()}
+    b = {(r.sig_id, r.cluster_id) for r in out2["clusters"].collect()}
+    assert a == b
