@@ -134,6 +134,29 @@ def compare_dense(
     )
     pairs = a.crossJoin(b).filter(F.col("sig_id_a") < F.col("sig_id_b"))
     ha, hb = F.col("ha"), F.col("hb")
+    if mode == "angular":
+        aa = sigs.select(
+            F.col(sig_id).alias("sig_id_a"), F.col("hashes").alias("ha"),
+            F.col("abunds").alias("aa"),
+        )
+        bb = sigs.select(
+            F.col(sig_id).alias("sig_id_b"), F.col("hashes").alias("hb"),
+            F.col("abunds").alias("ab"),
+        )
+        return (
+            aa.crossJoin(bb)
+            .filter(F.col("sig_id_a") < F.col("sig_id_b"))
+            .select(
+                "sig_id_a",
+                "sig_id_b",
+                kernels.intersect_size(ha, hb).alias("intersect_hashes"),
+                F.size(ha).alias("size_a"),
+                F.size(hb).alias("size_b"),
+                kernels.angular_similarity(
+                    ha, F.col("aa"), hb, F.col("ab")
+                ).alias("angular"),
+            )
+        )
     if mode == "jaccard":
         score = kernels.jaccard(ha, hb)
     elif mode == "containment":

@@ -74,6 +74,25 @@ class LSHParams:
     def capture_probability(self, jaccard: float) -> float:
         return 1.0 - (1.0 - jaccard**self.band_size) ** self.num_bands
 
+    @staticmethod
+    def tune(
+        threshold: float,
+        target_recall: float = 0.99,
+        band_size: int = 2,
+        max_bands: int = 256,
+    ) -> "LSHParams":
+        """Smallest band count whose S-curve capture probability at the
+        jaccard `threshold` meets `target_recall` (standard LSH parameter
+        selection).  More bands cost linearly in the banding/join stages."""
+        import math
+
+        p = threshold**band_size
+        if p >= 1.0:
+            return LSHParams(1, band_size)
+        need = math.log(1.0 - target_recall) / math.log(1.0 - p)
+        b = min(max_bands, max(1, math.ceil(need)))
+        return LSHParams(num_bands=b, band_size=band_size)
+
 
 DEFAULT_PARAMS = SketchParams()
 DEFAULT_LSH = LSHParams()

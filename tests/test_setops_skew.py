@@ -160,3 +160,35 @@ def test_salted_collect_and_join(spark):
     assert sorted(map(tuple, sj.select("k", "v", "tag").collect())) == sorted(
         map(tuple, plain.select("k", "v", "tag").collect())
     )
+
+
+def test_lsh_tune():
+    from sourmash_spark.params import LSHParams
+
+    p = LSHParams.tune(threshold=0.5, target_recall=0.99, band_size=2)
+    assert p.capture_probability(0.5) >= 0.99
+    assert LSHParams.tune(0.5, 0.99, 2, max_bands=8).num_bands == 8
+    # low thresholds need many bands; probability still monotone
+    p2 = LSHParams.tune(threshold=0.3, target_recall=0.95, band_size=2)
+    assert p2.capture_probability(0.3) >= 0.95
+    assert p2.num_bands > p.num_bands
+
+
+def test_compare_angular_mode(spark, corpus):
+    from sourmash_spark.operators.compare import compare_dense
+
+    p = SketchParams(ksize=21, scaled=50, track_abundance=True)
+    pdf = corpus.code_files.head(8)
+    df = spark.createDataFrame(pdf).withColumnRenamed("file_id", "sig_id")
+    sigs = sketch_signatures(df, p, keep_cols=["sig_id"])
+    got = {
+        (r.sig_id_a, r.sig_id_b): r.angular
+        for r in compare_dense(sigs, mode="angular").collect()
+    }
+    oracles = {
+        int(r.file_id): sketch_text(r.content, p) for r in pdf.itertuples()
+    }
+    for (i, j), v in got.items():
+        assert v == pytest.approx(
+            oracles[i].angular_similarity(oracles[j]), abs=1e-9
+        ), (i, j)

@@ -183,8 +183,7 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
+    section = (f"""# BENCH/BASELINE — scaling evidence (north rule)
 
 Identical job (sketch -> LSH bands -> candidates -> exact verify ->
 connected components) on the same synthetic code corpus
@@ -206,6 +205,17 @@ Clusters found (both levels identical): {big["n_clusters"]}.
 
 Reproduce: `python tools/scaling_bench.py` (env: SCALE_N, SCALE_FILES).
 """)
+    # replace only the scaling section; preserve recall/notes sections
+    path = "/root/repo/BENCH/BASELINE.md"
+    marker = "\n## Notes"
+    rest = ""
+    if os.path.exists(path):
+        cur = open(path).read()
+        idx = cur.find(marker)
+        if idx != -1:
+            rest = cur[idx:]
+    with open(path, "w") as f:
+        f.write(section + rest)
 
 
 if __name__ == "__main__":
