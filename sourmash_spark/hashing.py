@@ -234,7 +234,7 @@ def _murmur64_fixed_chunk(windows: np.ndarray, seed: int) -> np.ndarray:
 
 
 def murmur64_fixed(
-    windows: np.ndarray, seed: int = DEFAULT_SEED, chunk: int = 1 << 19
+    windows: np.ndarray, seed: int = DEFAULT_SEED, chunk: int = 1 << 16
 ) -> np.ndarray:
     """Vectorized murmur3_x64_128 low-64 over an (N, L) uint8 array of
     fixed-length keys.  Returns uint64[N].  Processes in cache-sized chunks
