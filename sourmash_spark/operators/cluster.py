@@ -20,16 +20,63 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the edge list (two long columns) and
+    run union-find with path compression on the driver.  Legitimate at any
+    corpus size where the EDGE list is small — edges are O(duplicate
+    pairs), orders of magnitude below the corpus — and mirrors how the
+    reference holds its comparable state driver-side (CounterGather)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    a = pdf.iloc[:, 0].to_numpy()
+    b = pdf.iloc[:, 1].to_numpy()
+    verts = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(verts)}
+    parent = np.arange(verts.size)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[int(x)]), find(idx[int(y)])
+        if rx != ry:
+            # union by smaller vertex VALUE so the root is the min sig_id
+            if verts[rx] < verts[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    labels = verts[[find(i) for i in range(verts.size)]]
+    out = pd.DataFrame({"sig_id": verts, "cluster_id": labels})
+    return edges.sparkSession.createDataFrame(
+        out, "sig_id long, cluster_id long"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "sig_id_a",
     dst: str = "sig_id_b",
     max_iter: int = 50,
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """(sig_id, cluster_id) for every vertex appearing in `edges`;
     cluster_id = min sig_id of the component.  Isolated vertices (no edges)
-    are not emitted — callers union them back with cluster_id = sig_id."""
+    are not emitted — callers union them back with cluster_id = sig_id.
+
+    Hybrid strategy: below `driver_threshold` edges, one collect + exact
+    union-find on the driver (eliminates the per-round job latency that
+    dominates small graphs); above it, distributed min-label propagation.
+    """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    if driver_threshold and e.count() <= driver_threshold:
+        return _driver_union_find(e)
     # undirected: keep both directions for min-label propagation
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)
@@ -99,10 +146,11 @@ def assign_clusters(
     sig_id: str = "sig_id",
     src: str = "sig_id_a",
     dst: str = "sig_id_b",
+    **cc_kwargs,
 ) -> DataFrame:
     """Full cluster table over every signature: component label where edges
     exist, else singleton cluster_id = sig_id (FIXTURES.md §6)."""
-    cc = connected_components(edges, src=src, dst=dst)
+    cc = connected_components(edges, src=src, dst=dst, **cc_kwargs)
     return (
         all_sigs.select(F.col(sig_id).alias("sig_id"))
         .join(cc, "sig_id", "left")

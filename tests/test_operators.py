@@ -250,3 +250,24 @@ def test_clusters_match_oracle_single_linkage(spark, sigs, oracle_sketches):
     want = _union_find(want_pairs, sorted(oracle_sketches))
     # same partition: min-label representative must match exactly
     assert clusters == want
+
+
+def test_cc_distributed_equals_driver_path(spark, sigs, oracle_sketches):
+    """Both CC strategies (driver union-find / iterative min-label joins)
+    must produce identical assignments."""
+    bands = lsh_ops.band_signatures(sigs, LSH, scaled=PARAMS.scaled)
+    edges = lsh_ops.verify_pairs(
+        lsh_ops.candidate_pairs(bands), sigs, scaled=PARAMS.scaled,
+        threshold=0.5,
+    ).cache()
+    drv = {
+        r.sig_id: r.cluster_id
+        for r in cluster_ops.assign_clusters(sigs, edges).collect()
+    }
+    dist = {
+        r.sig_id: r.cluster_id
+        for r in cluster_ops.assign_clusters(
+            sigs, edges, driver_threshold=0
+        ).collect()
+    }
+    assert drv == dist
