@@ -164,3 +164,56 @@ def test_streaming_watch(spark, corpus, tmp_path):
     assert got == mh.mins
     assert final["md5"] == mh.md5sum()
     assert final["n_records"] == 6
+
+
+def test_streaming_watch_checkpoint_restart(spark, corpus, tmp_path):
+    """Streaming state survives a query restart via checkpointLocation —
+    the second batch resumes from the first batch's sketch state."""
+    from sourmash_spark.streaming.watch import watch
+
+    src = str(tmp_path / "restart_src")
+    ckpt = str(tmp_path / "restart_ckpt")
+    os.makedirs(src)
+    pdf = corpus.code_files.head(4)[["content"]].copy()
+    pdf["key"] = "q"
+
+    out_dir = str(tmp_path / "restart_out")
+
+    def run_once(frame):
+        stream = (
+            spark.readStream.schema("content string, key string")
+            .parquet(src + "/*")
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            watch(stream, PARAMS, key_col="key", content_col="content")
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    spark.createDataFrame(pdf.iloc[:2]).write.parquet(src + "/b1")
+    rows1 = run_once("a")
+    assert max(r["n_records"] for r in rows1) == 2
+
+    # "crash", new data arrives, restart from checkpoint
+    spark.createDataFrame(pdf.iloc[2:]).write.parquet(src + "/b2")
+    rows2 = run_once("b")
+    final = max(rows2, key=lambda r: r["n_records"])
+    assert final["n_records"] == 4  # state carried across restart
+
+    from sourmash_spark.oracle import sketch_text
+
+    mh = None
+    for c in pdf["content"]:
+        s = sketch_text(c, PARAMS)
+        mh = s if mh is None else (mh.merge(s) or mh)
+    got = i64_to_u64(np.array(final["hashes"], dtype=np.int64)).tolist()
+    assert got == mh.mins
