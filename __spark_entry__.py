@@ -469,6 +469,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf_dir)
     ).select("content_md5", "canonical_id", "n_copies")
 
+    def dedup_prefix(spark, sf_dir):
+        """Exact-dedup logic exercised on a collision-rich key (first 12
+        chars) — documents have no full-text dups, so dedup_exact returns 0
+        rows; this variant proves the group/filter path on real groups."""
+        docs = _docs(spark, sf_dir)
+        return (
+            docs.select(
+                "doc_id", F.md5(F.substring("text", 1, 12)).alias("prefix_md5")
+            )
+            .groupBy("prefix_md5")
+            .agg(
+                F.min("doc_id").alias("canonical_id"),
+                F.count("*").cast("long").alias("n_copies"),
+            )
+            .filter(F.col("n_copies") > 1)
+        )
+
+    q["dedup_prefix"] = dedup_prefix
+
+    def kmers_and_hashes(spark, sf_dir):
+        """(pos, shingle, hashval) rows for doc 0 — the reference's
+        kmers_and_hashes debugging view (minhash.py:393-460), hash60 twin."""
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") == 0)
+        return docs.select(
+            "doc_id",
+            F.posexplode(docops.char_shingles(F.col("text"), K60)).alias(
+                "pos", "shingle"
+            ),
+        ).select(
+            "doc_id",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            "shingle",
+            docops.hash60(F.col("shingle")).alias("hashval"),
+        )
+
+    q["kmers_and_hashes"] = kmers_and_hashes
+
     q["dedup_ngram_jaccard"] = lambda spark, sf_dir: dedup_ops.ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.2
     )
@@ -938,6 +975,24 @@ SELECT CAST(0 AS BIGINT) AS id_a, CAST(1 AS BIGINT) AS id_b,
 SELECT md5(text) AS content_md5, CAST(min(doc_id) AS BIGINT) AS canonical_id,
        CAST(count(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    o["dedup_prefix"] = """
+SELECT md5(substring(text, 1, 12)) AS prefix_md5,
+       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+    o["kmers_and_hashes"] = f"""
+WITH g AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS shingle
+  FROM (SELECT doc_id, {SHINGLES_D("text", K60)} AS l
+        FROM documents WHERE doc_id = 0)
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, shingle,
+       {HASH60_D("shingle")} AS hashval
+FROM g
 """
 
     o["dedup_ngram_jaccard"] = f"""
