@@ -116,8 +116,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sk.select(
             "doc_id",
             "n_hashes",
-            F.element_at("hashes", 1).alias("min_hash"),
-            F.element_at("hashes", -1).alias("max_hash"),
+            # try_: empty sketches (possible on tiny docs) yield NULL, which
+            # matches the oracle's LEFT JOIN
+            F.try_element_at("hashes", F.lit(1)).alias("min_hash"),
+            F.try_element_at("hashes", F.lit(-1)).alias("max_hash"),
             _mod_sum().alias("hash_mod_sum"),
         )
 

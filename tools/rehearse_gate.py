@@ -57,7 +57,7 @@ def compare(got: pd.DataFrame, want: pd.DataFrame) -> str:
     return "OK"
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
+def main(sf_dir: str = os.environ.get("REHEARSE_SF", "/root/testdata/sf0.01"), only: list[str] | None = None):
     import __spark_entry__ as e
     from sourmash_spark.session import get_spark
 
