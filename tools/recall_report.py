@@ -29,7 +29,9 @@ def main() -> None:
     from sourmash_spark.pipeline import dup_pair_recall
 
     P = SketchParams(ksize=21, scaled=50)
-    L = LSHParams(num_bands=16, band_size=2)
+    L = LSHParams(
+        num_bands=int(os.environ.get("RECALL_BANDS", "16")), band_size=2
+    )
     threshold = 0.5
 
     spark = get_spark("recall", master="local[16]", shuffle_partitions=16)
