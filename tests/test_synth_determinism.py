@@ -1,0 +1,31 @@
+"""The synthetic corpus must be bit-deterministic (fixed seed) — every
+downstream correctness/recall claim depends on it."""
+
+from __future__ import annotations
+
+from sourmash_spark.synth import synth_code_files
+
+
+def test_synth_is_deterministic():
+    a = synth_code_files(n_base=10, seed=42, min_len=300, max_len=1500)
+    b = synth_code_files(n_base=10, seed=42, min_len=300, max_len=1500)
+    assert a.code_files.equals(b.code_files)
+    assert a.digests.equals(b.digests)
+    assert a.truth_pairs.equals(b.truth_pairs)
+    assert a.truth_clusters.equals(b.truth_clusters)
+    c = synth_code_files(n_base=10, seed=43, min_len=300, max_len=1500)
+    assert not a.code_files["content"].equals(c.code_files["content"])
+
+
+def test_synth_structure():
+    corpus = synth_code_files(n_base=6, seed=1)
+    # 5 members per family (base + exact dup + 3 mutants)
+    assert len(corpus.code_files) == 30
+    sizes = corpus.truth_clusters.groupby("cluster_id").size()
+    assert (sizes == 5).all()
+    # exact byte-dups exist where base and copy drew the same boilerplate
+    # decision (~50% of families by design)
+    dup_groups = corpus.code_files.groupby(
+        corpus.code_files["content"]
+    ).size()
+    assert (dup_groups >= 2).sum() >= 1
