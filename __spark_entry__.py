@@ -287,6 +287,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cc_clusters"] = cc_clusters
 
+    def categorize_best60(spark, sf_dir):
+        """Best jaccard match per doc (categorize twin): rank-1 window over
+        the symmetrized pair table."""
+        from pyspark.sql import Window
+
+        pairs = dedup_ops.minhash_pairs60(_sketch60(spark, sf_dir), threshold=0.25)
+        sym = pairs.select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("match_id"),
+            "jaccard",
+        ).unionByName(
+            pairs.select(
+                F.col("id_b").alias("query_id"),
+                F.col("id_a").alias("match_id"),
+                "jaccard",
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("jaccard"), F.col("match_id")
+        )
+        return (
+            sym.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "match_id", "jaccard")
+        )
+
+    q["categorize_best60"] = categorize_best60
+
     # --- search / prefetch (hash60 twins) ---
     def search_containment60(spark, sf_dir):
         sk = _sketch60(spark, sf_dir).cache()
@@ -883,6 +911,22 @@ SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
 FROM reach GROUP BY v
 """
     ).replace("), edges AS", "), edges AS")
+
+    o["categorize_best60"] = (
+        _pairs60
+        + """
+, sym AS (
+  SELECT id_a AS query_id, id_b AS match_id, jaccard
+  FROM scored WHERE jaccard >= 0.25
+  UNION ALL
+  SELECT id_b AS query_id, id_a AS match_id, jaccard
+  FROM scored WHERE jaccard >= 0.25
+)
+SELECT query_id, match_id, jaccard FROM sym
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY jaccard DESC, match_id) = 1
+"""
+    )
 
     _q0 = f"""
 {_KEPT60_CTE}, q AS (
