@@ -1,6 +1,7 @@
 """Cluster entry point: near-duplicate detection + clustering pipeline.
 
-Deploy:
+Deploy (rebuild the artifact whenever the package changes —
+`python -c "import shutil; shutil.make_archive('sourmash_spark','zip','.','sourmash_spark')"`):
     spark-submit --py-files sourmash_spark.zip jobs/dedup_job.py \
         --input  <parquet path or table of (repo,path,commit,lang,content)> \
         --output <checkpoint base dir> \

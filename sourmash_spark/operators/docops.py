@@ -72,16 +72,6 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
-def word_ngrams_sql(expr: str, n: int) -> str:
-    w = words_sql(expr)
-    return (
-        f"(SELECT list_filter(list_transform(range(1, greatest(len(wlist)-{n}+2, 1)), "
-        f"i -> array_to_string(wlist[i:i+{n}-1], ' ')), "
-        f"s -> len(string_split(s, ' ')) = {n}) "
-        f"FROM (SELECT {w} AS wlist) _w)"
-    )
-
-
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<float/double> columns — aggregate HOFs,
     JVM-side."""

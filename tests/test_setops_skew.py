@@ -192,3 +192,21 @@ def test_compare_angular_mode(spark, corpus):
         assert v == pytest.approx(
             oracles[i].angular_similarity(oracles[j]), abs=1e-9
         ), (i, j)
+
+
+def test_abundance_filter_direct(spark, corpus):
+    p = SketchParams(ksize=21, scaled=50, track_abundance=True)
+    df = spark.createDataFrame(corpus.code_files.head(5)).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    sigs = sketch_signatures(df, p, keep_cols=["sig_id"])
+    filtered = setops.abundance_filter(sigs, min_abund=2)
+    for r in filtered.collect():
+        orig = sketch_text(
+            corpus.code_files.loc[r["sig_id"], "content"], p
+        )
+        want = sorted(h for h, a in orig.hashes.items() if a >= 2)
+        got = [h if h >= 0 else h + (1 << 64) for h in r["hashes"]]
+        assert got == want
+        assert all(a >= 2 for a in r["abunds"])
+        assert r["n_hashes"] == len(want)
