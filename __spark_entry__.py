@@ -158,6 +158,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mh_compare_pairs"] = mh_compare_pairs
 
+    def mh_compare_mixed_scaled(spark, sf_dir):
+        """Mixed-resolution compare: even docs sketched at scaled=16, odd
+        docs at scaled=64; the engine downsamples all to the common max
+        (64) before pairing — must equal the oracle sketched at 64
+        directly (downsample algebra, minhash.rs:777-798)."""
+        fine = _sketch60(spark, sf_dir).filter(F.col("doc_id") % 2 == 0)
+        fine = fine.select(
+            "doc_id",
+            F.filter(
+                F.col("hashes"), lambda h: h <= F.lit(docops.max_hash60(64))
+            ).alias("hashes"),
+        )
+        coarse = dedup_ops.minhash_sketch60(
+            _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 1),
+            k=K60, scaled=64,
+        ).select("doc_id", "hashes")
+        mixed = fine.unionByName(coarse).withColumn(
+            "n_hashes", F.size("hashes").cast("long")
+        )
+        return dedup_ops.minhash_pairs60(mixed, threshold=0.25).select(
+            "id_a", "id_b", "intersect_hashes", "size_a", "size_b", "jaccard"
+        )
+
+    q["mh_compare_mixed_scaled"] = mh_compare_mixed_scaled
+
     def mh_containment_pairs(spark, sf_dir):
         pairs = dedup_ops.minhash_pairs60(_sketch60(spark, sf_dir), threshold=0.25)
         return pairs.select(
@@ -795,6 +820,31 @@ SELECT id_a, id_b, intersect_hashes, size_a, size_b, jaccard
 FROM scored WHERE jaccard >= 0.25
 """
     )
+
+    o["mh_compare_mixed_scaled"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({SHINGLES_D("text", K60)})) AS shingle
+  FROM documents
+), kept AS (
+  SELECT doc_id, {HASH60_D("shingle")} AS h FROM sh
+  WHERE {HASH60_D("shingle")} <= {docops.max_hash60(64)}
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS intersect_hashes
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id_a, p.id_b, p.intersect_hashes, sa.n AS size_a, sb.n AS size_b,
+       CAST(p.intersect_hashes AS DOUBLE)
+         / (sa.n + sb.n - p.intersect_hashes) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE CAST(p.intersect_hashes AS DOUBLE)
+        / (sa.n + sb.n - p.intersect_hashes) >= 0.25
+"""
 
     o["mh_containment_pairs"] = (
         _pairs60
