@@ -562,7 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kmers_and_hashes"] = kmers_and_hashes
 
     q["dedup_ngram_jaccard"] = lambda spark, sf_dir: dedup_ops.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.2
+        _docs(spark, sf_dir), n=3, threshold=0.2, hash_grams=False
     )
 
     q["dedup_simhash"] = lambda spark, sf_dir: dedup_ops.simhash(

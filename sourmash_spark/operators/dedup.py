@@ -103,15 +103,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = True,
 ) -> DataFrame:
-    """Exact word-n-gram jaccard near-dup pairs.  Inverted-index join on the
-    n-gram string itself (no sketching — the exactness baseline)."""
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(docops.word_ngrams(F.col(text_col), n))
-        ).alias("gram"),
-    )
+    """Exact word-n-gram jaccard near-dup pairs via inverted-index join.
+
+    `hash_grams=True` (default, the scale path) joins on xxhash64 of the
+    gram — 8 bytes through the shuffle instead of the full string; a
+    collision would need two distinct grams with equal 64-bit hashes
+    inside the same pair (negligible).  `hash_grams=False` joins on the
+    raw string (the cross-engine-checkable exactness baseline)."""
+    gram = F.explode(
+        F.array_distinct(docops.word_ngrams(F.col(text_col), n))
+    ).alias("gram")
+    grams = docs.select(F.col(id_col), gram)
+    if hash_grams:
+        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     g = grams.join(sizes, id_col)
     a = g.select(

@@ -210,3 +210,20 @@ def test_abundance_filter_direct(spark, corpus):
         assert got == want
         assert all(a >= 2 for a in r["abunds"])
         assert r["n_hashes"] == len(want)
+
+
+def test_ngram_hash_path_equals_string_path(spark, corpus):
+    from sourmash_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(corpus.code_files.head(30)).withColumnRenamed(
+        "file_id", "doc_id"
+    ).withColumnRenamed("content", "text")
+    a = {
+        (r.id_a, r.id_b): (r.shared, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, hash_grams=True).collect()
+    }
+    b = {
+        (r.id_a, r.id_b): (r.shared, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, hash_grams=False).collect()
+    }
+    assert a == b
