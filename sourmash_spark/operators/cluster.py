@@ -6,12 +6,15 @@ exactly connected components of the graph with edges {similarity >= 1-t}
 /root/reference/src/sourmash/commands.py:416-418, src/sourmash/fig.py:52-79
 — impossible at 10^12 rows).
 
-Implementation: alternating large-star / small-star label joins
-(the standard iterative-join CC formulation; converges in O(log^2 n)
-rounds on pathological graphs, ~2-4 rounds on clone-family graphs).
-Each round is two shuffles on sig_id; intermediate results are
-localCheckpoint()ed to cut the growing lineage.  GraphFrames is not
-assumed present.
+Implementation: min-label propagation with pointer-doubling
+(each round v takes min(label(v), min over neighbours' labels,
+label(label(v))) — the shortcut jump makes convergence O(log diameter)
+rounds instead of O(diameter), so a 50-round budget covers graphs of
+diameter ~2**50).  Each round is two shuffles on sig_id plus one tiny
+label-table self-join; intermediate results are localCheckpoint()ed to
+cut the growing lineage.  GraphFrames is not assumed present.  If the
+round budget is ever exhausted without convergence the function raises
+rather than return silently-fragmented labels.
 """
 
 from __future__ import annotations
@@ -107,16 +110,29 @@ def connected_components(
             .groupBy(F.col("b").alias("v"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = lbls.join(msgs, "v", "left").select(
+            "v",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer-doubling shortcut: v -> label(label(v)).  One self-join
+        # on the (small) label table; turns O(diameter) convergence into
+        # O(log diameter).
+        roots = stepped.select(
+            F.col("v").alias("label"), F.col("label").alias("label2")
+        )
         return (
-            lbls.join(msgs, "v", "left")
+            stepped.join(roots, "label", "left")
             .select(
                 "v",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("label2", F.col("label"))
                 ).alias("label"),
             )
         ).localCheckpoint(eager=True)
 
+    converged = False
     for it in range(max_iter):
         new_labels = propagate(labels)
         # convergence check is a full driver round trip — only every 2nd
@@ -132,8 +148,15 @@ def connected_components(
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter > ~2**max_iter with pointer-doubling); labels "
+            "would be fragmented — raise max_iter"
+        )
 
     return labels.select(
         F.col("v").alias("sig_id"), F.col("label").alias("cluster_id")

@@ -156,8 +156,17 @@ def jaccard_num(a: Column, b: Column, num: int) -> Column:
 
 def downsample_hashes(hashes: Column, new_scaled: int) -> Column:
     """Re-filter to a larger scaled — pure projection, no shuffle
-    (minhash.rs:777-798).  Valid for new_scaled >= 2 (kept hashes are then
-    non-negative int64, so the signed predicate is unsigned-correct)."""
+    (minhash.rs:777-798).  Valid for any new_scaled >= 1.
+
+    new_scaled == 2 needs care: max_hash = 2**63, whose int64 bit pattern
+    is -2**63, so the plain signed range predicate would drop everything.
+    The kept set {h_u64 <= 2**63} is exactly {h_i64 >= 0} ∪ {h_i64 ==
+    -2**63} — expressible signed with no loss."""
+    if new_scaled <= 1:
+        return hashes
+    if new_scaled == 2:
+        lo = F.lit(-(2**63)).cast("long")
+        return F.filter(hashes, lambda h: (h >= 0) | (h == lo))
     mh = u64_to_i64(max_hash_for_scaled(new_scaled))
     return F.filter(hashes, lambda h: (h >= 0) & (h <= F.lit(mh)))
 

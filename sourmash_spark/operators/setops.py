@@ -100,10 +100,20 @@ def abundance_filter(
 
 def downsample_signatures(sigs: DataFrame, new_scaled: int) -> DataFrame:
     """Downsample every sketch to a larger scaled — narrow projection
-    (minhash.rs:777-798); abundances kept aligned."""
+    (minhash.rs:777-798); abundances kept aligned.  new_scaled == 2 uses
+    the exact unsigned-boundary predicate (see kernels.downsample_hashes):
+    max_hash = 2**63 is -2**63 as int64, so the signed range test alone
+    would drop every hash."""
+    if new_scaled == 2:
+        lo = F.lit(-(2**63)).cast("long")
+        pred = lambda x: (x["h"] >= 0) | (x["h"] == lo)  # noqa: E731
+    else:
+        pred = lambda x: (x["h"] >= 0) & (  # noqa: E731
+            x["h"] <= scaled_max_hash_lit(new_scaled)
+        )
     z = F.filter(
         F.arrays_zip(F.col("hashes").alias("h"), F.col("abunds").alias("a")),
-        lambda x: (x["h"] >= 0) & (x["h"] <= scaled_max_hash_lit(new_scaled)),
+        pred,
     )
     return (
         sigs.withColumn("_z", z)

@@ -42,11 +42,22 @@ _MOLTYPE_TO_JSON = {"code": "protein", "dna": "dna", "protein": "protein"}
 
 
 def export_signatures_json(
-    sigs: DataFrame, name_col: str | None = None, filename_col: str | None = None
+    sigs: DataFrame,
+    name_col: str | None = None,
+    filename_col: str | None = None,
+    track_abundance: bool | None = None,
 ) -> DataFrame:
     """signatures DataFrame -> one v0.4 JSON record string per row
-    (column `sig_json`).  Arrow-batched; no shuffle."""
+    (column `sig_json`).  Arrow-batched; no shuffle.
+
+    ``abundances`` emission parity (minhash.rs Serialize: abundances are
+    written whenever ``abunds is Some``, even if all values are 1):
+    controlled by, in priority order, the ``track_abundance`` argument,
+    a boolean ``track_abundance`` column on ``sigs`` (written by
+    ``import_signatures_json``), else a last-resort heuristic (any
+    abundance != 1) for frames that carry neither."""
     cols = [c for c in sigs.columns]
+    has_ta_col = "track_abundance" in cols
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,9 +77,17 @@ def export_signatures_json(
                     "md5sum": r["md5"],
                     "molecule": _MOLTYPE_TO_JSON.get(r["moltype"], "protein"),
                 }
-                if r.get("abunds") is not None and len(r["abunds"]) and any(
-                    a != 1 for a in r["abunds"]
-                ):
+                if track_abundance is not None:
+                    emit_ab = track_abundance
+                elif has_ta_col:
+                    emit_ab = bool(r["track_abundance"])
+                else:
+                    emit_ab = (
+                        r.get("abunds") is not None
+                        and len(r["abunds"])
+                        and any(a != 1 for a in r["abunds"])
+                    )
+                if emit_ab and r.get("abunds") is not None:
                     sig["abundances"] = [int(a) for a in r["abunds"]]
                 rec = {
                     "class": "sourmash_signature",
@@ -100,6 +119,7 @@ IMPORT_SCHEMA = T.StructType(
         T.StructField("hashes", T.ArrayType(T.LongType())),
         T.StructField("abunds", T.ArrayType(T.LongType())),
         T.StructField("n_hashes", T.IntegerType()),
+        T.StructField("track_abundance", T.BooleanType()),
     ]
 )
 
@@ -118,19 +138,23 @@ def import_signatures_json(df: DataFrame, json_col: str = "sig_json") -> DataFra
                 for r in recs:
                     for sig in r.get("signatures", []):
                         mins = np.array(sig.get("mins", []), dtype=np.uint64)
-                        mins.sort()
+                        ab = sig.get("abundances")
+                        if ab is not None:
+                            # (mins, abundances) sort together — a .sig with
+                            # unordered mins must keep pairs aligned
+                            # (minhash.rs Deserialize sorts the zipped vec).
+                            order = np.argsort(mins, kind="stable")
+                            mins = mins[order]
+                            abunds = np.asarray(ab, dtype=np.int64)[order]
+                        else:
+                            mins.sort()
+                            abunds = np.ones(mins.size, dtype=np.int64)
                         max_hash = int(sig.get("max_hash", 0))
                         num = 0 if max_hash else int(sig.get("num", 0))
                         molecule = sig.get("molecule", "dna")
                         ksize = int(sig["ksize"])
                         if molecule != "dna":
                             ksize //= 3
-                        ab = sig.get("abundances")
-                        abunds = (
-                            np.asarray(ab, dtype=np.int64)
-                            if ab is not None
-                            else np.ones(mins.size, dtype=np.int64)
-                        )
                         rows.append(
                             {
                                 "name": r.get("name"),
@@ -148,6 +172,7 @@ def import_signatures_json(df: DataFrame, json_col: str = "sig_json") -> DataFra
                                 "hashes": u64_to_i64(mins),
                                 "abunds": abunds,
                                 "n_hashes": np.int32(mins.size),
+                                "track_abundance": ab is not None,
                             }
                         )
             yield pd.DataFrame(
