@@ -50,11 +50,15 @@ def band_signatures(
 
     rows = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
+        # range test in exact long arithmetic (h - h % w == i*w ≡ h//w == i
+        # for h >= 0): float division would round near 2**61-magnitude
+        # hashes and could disagree with integer `//` at range boundaries
         lambda i: F.coalesce(
             F.array_min(
                 F.filter(
                     F.col("hashes"),
-                    lambda h: F.floor(h / F.lit(width)) == i.cast("long"),
+                    lambda h: (h - (h % F.lit(width)))
+                    == i.cast("long") * F.lit(width),
                 )
             ),
             F.lit(EMPTY_SENTINEL).cast("long"),

@@ -1,0 +1,93 @@
+"""Generate reference-semantics murmur sketch fixtures for the DuckDB oracle.
+
+The correctness gate compares Spark queries against DuckDB SQL, but DuckDB
+cannot compute MurmurHash3 x64-128 — so the flagship murmur queries were
+rows-only in round 1.  This tool closes that hole: it sketches the sf
+documents with the *pure-Python pinned-parity oracle* (sourmash_spark.oracle
+.MinHash — an independent, scalar, set-based implementation whose murmur and
+semantics are pinned to the reference's published test vectors in
+tests/test_hashing.py / tests/test_oracle_minhash.py) and writes the
+resulting (sig_id, md5, n_hashes, hashes) table to parquet.
+
+Oracle SQL then does all *relational* work (banding, candidate join, verify,
+connected components, greedy gather) in SQL from these hashes — the fixture
+only supplies the hash function DuckDB lacks.
+
+Hashes are stored as int64 bit patterns (u64 viewed signed), ascending by
+unsigned value — exactly the representation sketch_signatures emits.
+
+Usage: python tools/make_fixtures.py  (regenerates fixtures/murmur_sf*.parquet)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+from sourmash_spark.hashing import murmur64_fixed, u64_to_i64  # noqa: E402
+from sourmash_spark.oracle import MinHash  # noqa: E402
+
+KSIZE = 12
+SCALED = 8
+SEED = 42
+
+SF_DIRS = {
+    "0.001": "/root/testdata/sf0.001",
+    "0.01": "/root/testdata/sf0.01",
+}
+
+
+def sketch_doc(text: str) -> MinHash:
+    """Oracle-semantics sketch of one document.
+
+    Window hashing is vectorized (murmur64_fixed is itself pinned to the
+    scalar reference vectors) purely for speed; reduction/identity go
+    through the oracle MinHash so the FIXTURE semantics (scaled filter,
+    unsigned sort, md5 identity) come from the independent implementation.
+    """
+    mh = MinHash(ksize=KSIZE, scaled=SCALED, seed=SEED, moltype="code")
+    data = (text or "").encode("utf-8")
+    data = bytes(b - 32 if 97 <= b <= 122 else b for b in data)
+    if len(data) >= KSIZE:
+        arr = np.frombuffer(data, dtype=np.uint8)
+        windows = np.lib.stride_tricks.sliding_window_view(arr, KSIZE)
+        mh.add_many(int(h) for h in murmur64_fixed(windows, SEED))
+    return mh
+
+
+def main() -> None:
+    for label, sf_dir in SF_DIRS.items():
+        t0 = time.time()
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ids, md5s, ns, hash_lists = [], [], [], []
+        for doc_id, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            mh = sketch_doc(text)
+            mins_u = np.array(mh.mins, dtype=np.uint64)
+            ids.append(int(doc_id))
+            md5s.append(mh.md5sum())
+            ns.append(len(mh))
+            hash_lists.append(u64_to_i64(mins_u).tolist())
+        table = pa.table(
+            {
+                "sig_id": pa.array(ids, pa.int64()),
+                "md5": pa.array(md5s, pa.string()),
+                "n_hashes": pa.array(ns, pa.int32()),
+                "hashes": pa.array(hash_lists, pa.list_(pa.int64())),
+            }
+        )
+        out = f"/root/repo/fixtures/murmur_sf{label}.parquet"
+        pq.write_table(table, out, compression="zstd")
+        print(
+            f"{out}: {len(ids)} sketches, "
+            f"{sum(ns)} hashes, {time.time()-t0:.1f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()
