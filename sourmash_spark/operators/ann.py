@@ -4,20 +4,154 @@
   baseline; O(Q*N) with a rank-1 window, fine when Q is small or as the
   within-bucket verifier).
 * `hyperplane_lsh_buckets` — random-hyperplane (SimHash-for-vectors) LSH:
-  deterministic pseudo-random planes derived from hash60(plane_idx, dim),
-  so both engines (and reruns) derive identical planes without a stored
-  model.  The scale path: bucket the corpus once, probe buckets per query.
-* `decode stub` — multimodal columns (image/audio) are opaque binary +
-  typed metadata; the decode/feature-extract steps are deterministic fakes
-  behind real Spark plumbing (schema, batching) — see multimodal.py.
+  deterministic planes derived from md5 of "p<plane>:d<dim>" (the same
+  hash60 arithmetic DuckDB can evaluate), so both engines and reruns derive
+  identical planes without a stored model.  Components are baked into the
+  plan as double literals — the planes are tiny (n_planes*dim doubles) and
+  constant-folding them keeps the projection pure arithmetic.
+* `hyperplane_lsh_tables` — T independent plane tables of q planes each;
+  a pair is a candidate iff it shares a bucket in ANY table.  This is the
+  banding construction (recall = 1-(1-(1-theta/pi)^q)^T) — the scale path
+  for all-pairs embedding near-dup (`embedding_neardup_lsh`).
+* `lsh_topk` — per-query ANN: bucket the corpus once, probe the query's
+  bucket plus `n_probes` low-margin single-bit flips (multiprobe), exact
+  cosine rank within the probed candidates.
+
+Scale notes: bucketing is a narrow projection (no shuffle); the candidate
+stage is an equi-join on (table_idx, bucket) — never a cross join; exact
+verification happens only within buckets.  Plane count bounds bucket sizes
+(2^q expected buckets per table); residual skew (mass near a boundary) is
+handled by AQE skew-join on the bucket join.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from . import docops
+
+
+def plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-0.5, 0.5):
+    md5-derived hash60("p<plane>:d<dim>") / 2^60 - 0.5.  Computed in Python
+    and inlined as a literal; the identical expression is renderable in
+    DuckDB SQL ((('0x'||substr(md5(s),1,15))::BIGINT)::DOUBLE / 2^60 - 0.5),
+    and both fold to the same IEEE double."""
+    h = int(hashlib.md5(f"p{plane}:d{dim}".encode()).hexdigest()[:15], 16)
+    return h / float(1 << 60) - 0.5
+
+
+def plane_matrix(n_planes: int, dim: int, plane_offset: int = 0) -> list[list[float]]:
+    return [
+        [plane_component(plane_offset + p, d) for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def _dot(vec_col: str, comps: list[float]) -> F.Column:
+    """Left-folded dot product of an array column with literal plane
+    components.  Loop-based aggregate/zip_with, NOT an unrolled term chain:
+    unrolling 64 terms x 48 planes overflows the JVM's 64KB codegen method
+    limit.  The fold order ((0+p0)+p1)+... is part of the cross-engine
+    contract — the SQL twin's list_reduce groups ((p0+p1)+p2), identical
+    because 0.0+x == x exactly in IEEE."""
+    lit_arr = F.array(*[F.lit(c) for c in comps])
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col), lit_arr, lambda x, c: x.cast("double") * c
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
+    bucket = None
+    for p, comps in enumerate(planes):
+        bit = F.when(_dot(vec_col, comps) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << p).cast("long")
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def dot_sql(vec_expr: str, comps: list[float]) -> str:
+    """DuckDB rendering of `_dot`: list_reduce folds ((p0+p1)+p2)... —
+    identical to the Spark aggregate's ((0+p0)+p1)+... because 0.0+x == x
+    exactly in IEEE — over the identical Python double literals, so dot
+    values are bit-equal across engines."""
+    lst = "[" + ", ".join(repr(c) for c in comps) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(comps) + 1}), "
+        f"i -> {vec_expr}[i::INT]::DOUBLE * ({lst})[i::INT]), "
+        f"(a, b) -> a + b)"
+    )
+
+
+def bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB rendering of `_bucket` for the correctness oracle."""
+    parts = [
+        f"(CASE WHEN {dot_sql(vec_expr, comps)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, comps in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def probes_sql(vec_expr: str, planes: list[list[float]], n_probes: int) -> str:
+    """DuckDB rendering of `_probe_buckets`: base bucket prepended to the
+    n_probes lowest-(abs(dot), mask) single-bit flips."""
+    base = bucket_sql(vec_expr, planes)
+    margins = ", ".join(
+        f"{{'m': abs({dot_sql(vec_expr, comps)}), 'k': {1 << p}::BIGINT}}"
+        for p, comps in enumerate(planes)
+    )
+    return (
+        f"list_prepend({base}, "
+        f"list_transform(list_slice(list_sort([{margins}]), 1, {n_probes}), "
+        f"s -> xor({base}, s.k)))"
+    )
+
+
+def _infer_dim(embs: DataFrame, vec_col: str) -> int:
+    """Fallback only — fires an extra job at plan-build time.  Callers that
+    know the embedding dimension should pass `dim` explicitly."""
+    return len(embs.select(vec_col).first()[0])
+
+
+def perturb_copies(
+    embs: DataFrame,
+    n_copies: int = 50,
+    noise: float = 0.05,
+    id_offset: int = 100_000,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic near-duplicate injection for recall evaluation and the
+    correctness gate: re-emit the corpus (cast to double) plus copies of the
+    vectors with id < n_copies, offset by a fixed pseudo-random noise vector
+    (noise * plane_component(999, d)) and re-identified at id + id_offset.
+    Pure column arithmetic — the DuckDB twin reproduces it bit-exactly."""
+    if dim is None:
+        dim = _infer_dim(embs, vec_col)
+    noise_arr = F.array(
+        *[F.lit(noise * plane_component(999, d)) for d in range(dim)]
+    )
+    base = embs.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+    pert = embs.filter(F.col(id_col) < n_copies).select(
+        (F.col(id_col) + id_offset).alias(id_col),
+        F.zip_with(
+            F.col(vec_col), noise_arr, lambda x, c: x.cast("double") + c
+        ).alias(vec_col),
+    )
+    return base.unionByName(pert)
 
 
 def cosine_topk(
@@ -54,13 +188,6 @@ def cosine_topk(
     )
 
 
-def _plane_component(plane: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random plane component in [-0.5, 0.5):
-    hash60('p<plane>:d<dim>') / 2^60 - 0.5 — reproducible in SQL."""
-    h = docops.hash60(F.lit(f"p{plane}:d{dim}"))
-    return (h.cast("double") / F.lit(float(1 << 60))) - 0.5
-
-
 def hyperplane_lsh_buckets(
     embs: DataFrame,
     n_planes: int = 8,
@@ -70,24 +197,115 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Assign each vector a 2^n_planes bucket by the sign pattern of dot
     products with deterministic hyperplanes.  Narrow projection (planes are
-    plan literals); candidates for a query = its bucket (+ multiprobe
-    neighbors flipping low-margin bits, not implemented here)."""
+    plan literals, no shuffle, no driver job when `dim` is given)."""
     if dim is None:
-        dim = len(embs.select(vec_col).first()[0])
-    bucket = None
-    for p in range(n_planes):
-        dot = None
-        for d in range(dim):
-            term = F.element_at(F.col(vec_col), d + 1).cast(
-                "double"
-            ) * _plane_component(p, d)
-            dot = term if dot is None else dot + term
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        dim = _infer_dim(embs, vec_col)
+    planes = plane_matrix(n_planes, dim)
+    return embs.select(F.col(id_col), _bucket(vec_col, planes).alias("bucket"))
+
+
+def hyperplane_lsh_tables(
+    embs: DataFrame,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_idx, bucket) — T independent plane tables (table t uses
+    planes [t*q, (t+1)*q)).  The banding construction for all-pairs
+    near-dup: candidate iff same bucket in >= 1 table."""
+    if dim is None:
+        dim = _infer_dim(embs, vec_col)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("table_idx"),
+                _bucket(vec_col, plane_matrix(n_planes, dim, t * n_planes)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return embs.select(F.col(id_col), F.explode(rows).alias("_tb")).select(
+        id_col, F.col("_tb.table_idx"), F.col("_tb.bucket")
+    )
+
+
+def embedding_neardup_lsh(
+    embs: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 6,
+    dim: int | None = None,
+    bucket_cap: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the SCALE path: candidates
+    from a (table_idx, bucket) equi-join over T plane tables, exact cosine
+    verification within buckets only, distinct pairs.
+
+    Recall vs the exact path is 1-(1-(1-theta/pi)^q)^T with theta =
+    acos(threshold); verification is exact, so false positives are zero.
+    Defaults (T=8, q=6) give >= 0.99 at cosine 0.9.  `bucket_cap` drops
+    degenerate buckets (mass on a boundary) with lineage in mind — callers
+    at scale should log what was dropped."""
+    if dim is None:
+        dim = _infer_dim(embs, vec_col)
+    tb = hyperplane_lsh_tables(embs, n_tables, n_planes, dim, id_col, vec_col)
+    if bucket_cap:
+        sizes = (
+            tb.groupBy("table_idx", "bucket")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= bucket_cap)
+            .select("table_idx", "bucket")
         )
-        term = bit * F.lit(1 << p).cast("long")
-        bucket = term if bucket is None else bucket + term
-    return embs.select(F.col(id_col), bucket.alias("bucket"))
+        tb = tb.join(sizes, ["table_idx", "bucket"])
+    a = tb.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
+    b = tb.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(docops.cosine_similarity(F.col("va"), F.col("vb")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _probe_buckets(
+    vec_col: str, planes: list[list[float]], n_probes: int
+) -> F.Column:
+    """Array of probe buckets: the base bucket plus `n_probes` single-bit
+    flips of the lowest-|margin| planes (multiprobe LSH).  Margin order is
+    (abs(dot), plane) — deterministic and SQL-reproducible."""
+    base = _bucket(vec_col, planes)
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(_dot(vec_col, comps)).alias("m"),
+                F.lit(1 << p).cast("long").alias("mask"),
+            )
+            for p, comps in enumerate(planes)
+        ]
+    )
+    flips = F.transform(
+        F.slice(F.array_sort(margins), 1, n_probes),
+        lambda s: base.bitwiseXOR(s["mask"]),
+    )
+    return F.concat(F.array(base), flips)
 
 
 def lsh_topk(
@@ -95,29 +313,42 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 6,
+    n_probes: int = 0,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "query_id",
 ) -> DataFrame:
-    """ANN top-k: exact ranking *within* the query's hyperplane bucket.
-    Recall < 1 by construction (bucket boundaries); the tradeoff knob is
-    n_planes.  Join is an equi-join on bucket — no cross join."""
-    dim = len(embs.select(vec_col).first()[0])
+    """ANN top-k: exact ranking within the query's hyperplane bucket, plus
+    `n_probes` multiprobe buckets (single-bit flips of the query's
+    lowest-margin planes — recovers most bucket-boundary recall loss).
+    Join is an equi-join on bucket — no cross join; the corpus is bucketed
+    exactly once regardless of probe count."""
+    if dim is None:
+        dim = _infer_dim(embs, vec_col)
+    planes = plane_matrix(n_planes, dim)
     cb = hyperplane_lsh_buckets(embs, n_planes, dim, id_col, vec_col)
-    qb = hyperplane_lsh_buckets(
-        queries.withColumnRenamed(query_id, id_col), n_planes, dim, id_col,
-        vec_col,
-    ).withColumnRenamed(id_col, query_id)
     corpus = embs.join(cb, id_col).select(
         id_col, F.col(vec_col).alias("cv"), "bucket"
     )
-    qs = (
-        queries.join(qb, query_id)
-        .select(query_id, F.col(vec_col).alias("qv"), "bucket")
+    qs = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("qv"),
+        F.explode(
+            _probe_buckets(vec_col, planes, n_probes)
+            if n_probes
+            else F.array(_bucket(vec_col, planes))
+        ).alias("bucket"),
     )
     scored = (
         corpus.join(F.broadcast(qs), "bucket")
         .filter(F.col(id_col) != F.col(query_id))
+        # a candidate can surface through several probe buckets — collapse
+        # before ranking so rank numbers are unambiguous
+        .groupBy(query_id, id_col)
+        .agg(
+            F.first("qv").alias("qv"), F.first("cv").alias("cv")
+        )
         .withColumn(
             "cosine",
             F.round(docops.cosine_similarity(F.col("qv"), F.col("cv")), 6),

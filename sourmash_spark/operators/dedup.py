@@ -272,9 +272,10 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.  Brute-force O(N^2) pair plan
-    for the correctness gate; the LSH-bucketed scale path is
-    operators.ann.hyperplane_lsh_buckets + within-bucket pairs."""
+    """Embedding-cosine near-duplicate pairs — brute-force O(N^2) BASELINE.
+    Tiny-N parity/recall-reference only: the verified scale path is
+    operators.ann.embedding_neardup_lsh (T plane tables, bucket equi-join,
+    within-bucket exact verify), which this function exists to referee."""
     a = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (

@@ -1,0 +1,96 @@
+"""Embedding LSH scale path: recall vs the brute-force baseline, multiprobe
+behavior, and plan shape (equi-join, not cross join)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.operators import ann as ann_ops
+from sourmash_spark.operators.dedup import embedding_neardup_pairs
+
+DIM = 64
+
+
+def _embs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _aug(spark):
+    return ann_ops.perturb_copies(_embs(spark), n_copies=50, dim=DIM)
+
+
+def test_neardup_lsh_recall_vs_bruteforce(spark):
+    aug = _aug(spark).cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(aug, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ann_ops.embedding_neardup_lsh(
+            aug, threshold=0.9, n_tables=8, n_planes=6, dim=DIM
+        ).collect()
+    }
+    assert exact, "augmented corpus must contain true near-dups"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.99
+    # exact within-bucket verification => no false positives
+    assert got <= exact
+
+
+def test_lsh_pairs_are_candidate_bounded(spark):
+    """The LSH path must examine only bucket-sharing candidates — with one
+    plane table and many planes, far fewer than N^2."""
+    aug = _aug(spark)
+    plan = ann_ops.embedding_neardup_lsh(
+        aug, threshold=0.9, n_tables=2, n_planes=8, dim=DIM
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_topk_multiprobe_recovers_boundary_recall(spark):
+    """recall@1 of retrieving each planted near-dup (cosine ~0.99): the
+    realistic ANN workload.  Multiprobe must recover bucket-boundary misses
+    — with 4 probes a pair is missed only when >= 2 of 6 planes split it."""
+    aug = _aug(spark).cache()
+    queries = aug.filter(F.col("vec_id") >= 100_000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def recall_at_1(df):
+        best = {r["query_id"]: r["vec_id"] for r in df.filter(
+            F.col("rank") == 1
+        ).collect()}
+        return sum(
+            1 for qid, vid in best.items() if vid == qid - 100_000
+        ) / 50.0
+
+    lsh0 = ann_ops.lsh_topk(aug, queries, k=1, n_planes=6, n_probes=0, dim=DIM)
+    lsh4 = ann_ops.lsh_topk(aug, queries, k=1, n_planes=6, n_probes=4, dim=DIM)
+    r0, r4 = recall_at_1(lsh0), recall_at_1(lsh4)
+    assert r4 >= r0  # multiprobe can only widen the candidate set
+    assert r4 >= 0.9  # and recovers near-all planted near-dups
+
+
+def test_bucket_cap_drops_megabuckets(spark):
+    aug = _aug(spark)
+    uncapped = ann_ops.embedding_neardup_lsh(
+        aug, threshold=0.0, n_tables=1, n_planes=1, dim=DIM
+    ).count()
+    capped = ann_ops.embedding_neardup_lsh(
+        aug, threshold=0.0, n_tables=1, n_planes=1, dim=DIM, bucket_cap=10
+    ).count()
+    assert capped < uncapped
+
+
+def test_perturb_copies_shape(spark):
+    embs = _embs(spark)
+    n = embs.count()
+    aug = ann_ops.perturb_copies(embs, n_copies=50, dim=DIM)
+    assert aug.count() == n + 50
+    # copies are near, not identical
+    pairs = embedding_neardup_pairs(aug, threshold=0.9)
+    top = pairs.filter(F.col("id_b") >= 100_000).collect()
+    assert len(top) >= 50
+    assert all(r["cosine"] < 1.0 for r in top if r["id_a"] + 100_000 == r["id_b"])
