@@ -22,14 +22,35 @@ import pyspark.sql.functions as F
 
 from . import kernels
 
+# Default document-frequency cap for the inverted-index pair joins.  A key
+# (hash/shingle/gram) present in df documents contributes O(df^2) pair rows
+# before any filter — the one remaining quadratic blowup at corpus scale —
+# and a key shared by >10k documents is boilerplate, not evidence of
+# near-duplication.  ON by default; pass df_cap=0 to disable, and use
+# `df_cap_stats` for the dropped-volume lineage.
+DEFAULT_DF_CAP = 10_000
+
+
+def df_cap_stats(postings_df: DataFrame, df_cap: int, key: str = "hashval") -> DataFrame:
+    """Lineage feed for the cap: (key, df) of every key the cap drops.
+    Callers at scale persist this next to the pair output so 'covered
+    everything' is never silently false."""
+    return (
+        postings_df.groupBy(key)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+    )
+
 
 def postings(
     sigs: DataFrame,
     sig_id: str = "sig_id",
-    df_cap: int = 0,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Inverted index: one row per (hashval, sig_id) — the analog of the
-    reference's `sourmash_hashes` table (sqlite_index.py:263-278)."""
+    reference's `sourmash_hashes` table (sqlite_index.py:263-278).  Keys in
+    more than `df_cap` sketches are dropped before any join (map-side
+    combined count + semi join; AQE broadcasts the surviving dim)."""
     p = sigs.select(sig_id, F.explode("hashes").alias("hashval"))
     if df_cap:
         freq = (
@@ -48,13 +69,19 @@ def compare_all_pairs(
     threshold: float = 0.0,
     mode: str = "jaccard",
     scaled: int | None = None,
-    df_cap: int = 0,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Long-form pairwise similarity over one signatures DataFrame.
 
     Output: (sig_id_a, sig_id_b, intersect_hashes, size_a, size_b, and the
     requested score column) with sig_id_a < sig_id_b; pairs below
     `threshold` (or sharing no hash) are dropped.
+
+    `df_cap` (default DEFAULT_DF_CAP, 0 disables) drops hashes present in
+    more than df_cap sketches from the JOIN ONLY — set sizes stay those of
+    the full sketches, so capped scores are a lower bound of the true
+    scores (a boilerplate hash never inflates similarity).  Dropped-key
+    lineage: `df_cap_stats(postings(sigs, df_cap=0), df_cap)`.
 
     Mixed-resolution collections are downsampled to the common (max)
     scaled first — the reference's compare semantics

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 from . import docops
+from .compare import DEFAULT_DF_CAP
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -67,12 +68,25 @@ def minhash_pairs60(
     sketches: DataFrame,
     threshold: float = 0.5,
     id_col: str = "doc_id",
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """All-pairs jaccard over hash60 sketches (inverted-index join, same
-    plan as operators.compare.compare_all_pairs)."""
+    plan as operators.compare.compare_all_pairs).  `df_cap` (default
+    DEFAULT_DF_CAP, 0 disables) drops hashes present in more than df_cap
+    docs from the join — the boilerplate guard against the O(df^2) pair
+    blowup; sizes stay full-sketch, so capped jaccard lower-bounds true
+    jaccard.  Lineage: compare.df_cap_stats."""
     p = sketches.select(
         F.col(id_col), F.col("n_hashes"), F.explode("hashes").alias("hashval")
     )
+    if df_cap:
+        keep = (
+            p.groupBy("hashval")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("hashval")
+        )
+        p = p.join(keep, "hashval")
     a = p.select(
         F.col(id_col).alias("id_a"), F.col("n_hashes").alias("size_a"), "hashval"
     )
@@ -104,6 +118,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = True,
+    df_cap: int = DEFAULT_DF_CAP,
 ) -> DataFrame:
     """Exact word-n-gram jaccard near-dup pairs via inverted-index join.
 
@@ -111,7 +126,13 @@ def ngram_jaccard_pairs(
     gram — 8 bytes through the shuffle instead of the full string; a
     collision would need two distinct grams with equal 64-bit hashes
     inside the same pair (negligible).  `hash_grams=False` joins on the
-    raw string (the cross-engine-checkable exactness baseline)."""
+    raw string (the cross-engine-checkable exactness baseline).
+
+    `df_cap` (default DEFAULT_DF_CAP, 0 disables) drops grams present in
+    more than df_cap docs from the JOIN ONLY — per-doc gram counts stay
+    full, so capped jaccard lower-bounds true jaccard (a boilerplate gram
+    never creates O(df^2) pair rows nor inflates similarity).  Lineage:
+    compare.df_cap_stats(grams, df_cap, key="gram")."""
     gram = F.explode(
         F.array_distinct(docops.word_ngrams(F.col(text_col), n))
     ).alias("gram")
@@ -119,6 +140,14 @@ def ngram_jaccard_pairs(
     if hash_grams:
         grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    if df_cap:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram")
     g = grams.join(sizes, id_col)
     a = g.select(
         F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"), "gram"

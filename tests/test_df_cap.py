@@ -1,0 +1,104 @@
+"""Document-frequency cap: the boilerplate guard for the inverted-index
+pair joins (compare.postings / dedup.minhash_pairs60 / ngram_jaccard_pairs).
+
+A key shared by df documents yields O(df^2) pair rows before any filter —
+the last quadratic blowup at corpus scale.  These tests prove: (1) the cap
+bounds the join volume on a boilerplate-heavy corpus, (2) capped scores
+only ever go down (lower bound), (3) the dropped-key lineage is reported,
+(4) the default-on cap is a no-op below the cap.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.operators import dedup as dedup_ops
+from sourmash_spark.operators.compare import (
+    DEFAULT_DF_CAP,
+    compare_all_pairs,
+    df_cap_stats,
+    postings,
+)
+
+BOILER = "copyright license header boilerplate text "
+
+
+def _boiler_docs(spark, n=60):
+    """Every doc shares one boilerplate prefix; bodies are distinct."""
+    rows = [
+        (i, BOILER * 3 + f"unique body {i} " + f"token{i} " * 30)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_cap_bounds_join_volume(spark):
+    docs = _boiler_docs(spark)
+    uncapped = dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, hash_grams=False, df_cap=0
+    )
+    capped = dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, hash_grams=False, df_cap=10
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    # boilerplate grams pair every doc with every other: ~N^2/2 rows
+    assert n_un == 60 * 59 // 2
+    # the cap kills the boilerplate-only pairs entirely
+    assert n_cap == 0
+
+
+def test_capped_jaccard_is_lower_bound(spark):
+    docs = _boiler_docs(spark, n=20)
+    un = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_ops.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, hash_grams=False, df_cap=0
+        ).collect()
+    }
+    cap = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_ops.ngram_jaccard_pairs(
+            docs, n=3, threshold=0.0, hash_grams=False, df_cap=5
+        ).collect()
+    }
+    assert set(cap) <= set(un)
+    assert all(cap[k] <= un[k] + 1e-12 for k in cap)
+
+
+def test_df_cap_stats_reports_dropped_volume(spark):
+    docs = _boiler_docs(spark, n=30)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                __import__(
+                    "sourmash_spark.operators.docops", fromlist=["word_ngrams"]
+                ).word_ngrams(F.col("text"), 3)
+            )
+        ).alias("gram"),
+    )
+    dropped = df_cap_stats(grams, df_cap=10, key="gram").collect()
+    assert dropped, "boilerplate grams must be reported"
+    assert all(r["df"] == 30 for r in dropped if "boilerplate" in r["gram"])
+
+
+def test_default_cap_is_noop_below_cap(spark):
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3], 3), (2, [2, 3, 4], 3), (3, [9, 10, 11], 3)],
+        "sig_id long, hashes array<long>, n_hashes int",
+    ).withColumn("scaled", F.lit(8).cast("long"))
+    default = compare_all_pairs(sigs).collect()
+    uncapped = compare_all_pairs(sigs, df_cap=0).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, uncapped))
+    assert DEFAULT_DF_CAP > 0  # the default is ON
+
+
+def test_postings_cap_drops_hot_keys(spark):
+    rows = [(i, [100, 1000 + i], 2) for i in range(40)]
+    sigs = spark.createDataFrame(
+        rows, "sig_id long, hashes array<long>, n_hashes int"
+    )
+    p = postings(sigs, df_cap=10)
+    vals = {r["hashval"] for r in p.collect()}
+    assert 100 not in vals  # hot key dropped
+    assert len(vals) == 40  # per-doc keys survive
