@@ -209,9 +209,13 @@ def gather(
     query_abunds: list[int] | None = None,
     query_md5: str = "",
     sig_id: str = "sig_id",
+    estimate_ani_ci: bool = False,
 ) -> DataFrame:
     """Greedy decomposition; returns GatherResult-shaped rows in rank order
-    (column parity subset of search.py:482-524; CI columns omitted)."""
+    (column parity with search.py:482-524; `estimate_ani_ci` appends the
+    reference's ci_cols — query/match_containment_ani_low/high,
+    search.py:393-398 — computed like GatherResult.handle_ani_ci from the
+    remaining-query and match containments)."""
     min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
 
     cands_df = prefetch(
@@ -301,10 +305,30 @@ def gather(
                 "max_containment_ani": max(q_ani, m_ani),
             }
         )
+        if estimate_ani_ci:
+            from ..distances import containment_to_distance
+
+            q_res = containment_to_distance(
+                _contained(found.size, remaining.size, scaled),
+                ksize, scaled, float(remaining.size) * scaled,
+                estimate_ci=True,
+            )
+            m_res = containment_to_distance(
+                f_match, ksize, scaled, float(match.size) * scaled,
+                estimate_ci=True,
+            )
+            results[-1].update(
+                {
+                    "query_containment_ani_low": q_res.ani_low,
+                    "query_containment_ani_high": q_res.ani_high,
+                    "match_containment_ani_low": m_res.ani_low,
+                    "match_containment_ani_high": m_res.ani_high,
+                }
+            )
         remaining = np.setdiff1d(remaining, match)  # consume
         rank += 1
 
-    pdf = pd.DataFrame(results, columns=GATHER_COLS)
+    cols = list(GATHER_COLS)
     schema = (
         "intersect_bp long, f_orig_query double, f_match double, "
         "f_unique_to_query double, f_unique_weighted double, "
@@ -316,4 +340,16 @@ def gather(
         "query_containment_ani double, match_containment_ani double, "
         "average_containment_ani double, max_containment_ani double"
     )
+    if estimate_ani_ci:
+        cols += [
+            "query_containment_ani_low", "query_containment_ani_high",
+            "match_containment_ani_low", "match_containment_ani_high",
+        ]
+        schema += (
+            ", query_containment_ani_low double"
+            ", query_containment_ani_high double"
+            ", match_containment_ani_low double"
+            ", match_containment_ani_high double"
+        )
+    pdf = pd.DataFrame(results, columns=cols)
     return spark.createDataFrame(pdf, schema=schema)

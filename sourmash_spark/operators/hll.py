@@ -45,6 +45,52 @@ def hll_union_cardinality(
     )
 
 
+def hll_pairwise(
+    sketches: DataFrame, id_col: str = "group_id", hll_col: str = "hll"
+) -> DataFrame:
+    """Pairwise similarity/containment/intersection between stored HLL
+    sketches — the reference's HLL estimators
+    (/root/reference/src/sourmash/hll.py:53-75,
+    src/core/src/sketch/hyperloglog/mod.rs:109-131).  The reference uses a
+    joint MLE over register pairs; here the same quantities come from
+    inclusion-exclusion on Datasketches estimates
+    (|A∩B| ≈ |A|+|B|-|A∪B|, clamped at 0) — both are estimators of the same
+    set sizes, accurate within the HLL rsd.
+
+    All-pairs is over GROUP-level sketches (a dimension table, e.g. one
+    sketch per source/partition), not corpus rows — the crossJoin is
+    intentional and tiny.  Output: (id_a, id_b, card_a, card_b,
+    union_est, intersection_est, similarity_est, containment_a_in_b_est)."""
+    a = sketches.select(
+        F.col(id_col).alias("id_a"), F.col(hll_col).alias("_ha")
+    )
+    b = sketches.select(
+        F.col(id_col).alias("id_b"), F.col(hll_col).alias("_hb")
+    )
+    card_a = F.hll_sketch_estimate(F.col("_ha"))
+    card_b = F.hll_sketch_estimate(F.col("_hb"))
+    card_u = F.hll_sketch_estimate(F.hll_union(F.col("_ha"), F.col("_hb")))
+    inter = F.greatest(card_a + card_b - card_u, F.lit(0).cast("long"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            card_a.alias("card_a"),
+            card_b.alias("card_b"),
+            card_u.alias("union_est"),
+            inter.alias("intersection_est"),
+            F.when(card_u > 0, inter / card_u)
+            .otherwise(F.lit(0.0))
+            .alias("similarity_est"),
+            F.when(card_a > 0, inter / card_a)
+            .otherwise(F.lit(0.0))
+            .alias("containment_a_in_b_est"),
+        )
+    )
+
+
 def hashes_cardinality(sigs: DataFrame, group_cols: list[str]) -> DataFrame:
     """Distinct-hash cardinality across sketch groups (the `as_hll` use in
     minhash.rs:759-767): explode + HLL aggregate, no exact shuffle-dedup."""

@@ -26,9 +26,12 @@ def prefetch(
     query_name: str = "",
     query_abundance: bool = False,
     sig_id: str = "sig_id",
+    estimate_ani_ci: bool = False,
 ) -> DataFrame:
     """PrefetchResult-shaped DataFrame, ordered by overlap desc
-    (column list parity: search.py:367-400)."""
+    (column list parity: search.py:367-400; `estimate_ani_ci` appends the
+    reference's ci_cols, search.py:393-398, via the Arrow-batched CI
+    estimator in distances.py)."""
     q = F.lit(query_hashes).cast("array<long>")
     size_q = F.lit(len(query_hashes))
     inter = kernels.intersect_size(F.col("hashes"), q)
@@ -86,4 +89,27 @@ def prefetch(
         )
         .orderBy(F.desc("intersect_hashes"), "match_md5")
     )
+    if estimate_ani_ci:
+        from ..distances import with_containment_ani_ci
+
+        out = out.withColumn(
+            "_match_n", (F.col("match_bp") / scaled).cast("double")
+        )
+        out = with_containment_ani_ci(
+            out, "f_match_query", "query_n_hashes", ksize, scaled,
+            prefix="_q_",
+        )
+        out = with_containment_ani_ci(
+            out, "f_query_match", "_match_n", ksize, scaled, prefix="_m_"
+        )
+        out = (
+            out.withColumnRenamed("_q_ani_low", "query_containment_ani_low")
+            .withColumnRenamed("_q_ani_high", "query_containment_ani_high")
+            .withColumnRenamed("_m_ani_low", "match_containment_ani_low")
+            .withColumnRenamed("_m_ani_high", "match_containment_ani_high")
+            .drop(
+                "_match_n", "_q_ani", "_q_p_nothing_in_common",
+                "_m_ani", "_m_p_nothing_in_common",
+            )
+        )
     return out

@@ -1,0 +1,216 @@
+"""Taxonomy operators — `sourmash tax annotate/metagenome/genome` as
+DataFrame plans (reference: /root/reference/src/sourmash/tax/__main__.py:73-255
+and tax/tax_utils.py:2242-2540, behavior only).
+
+The reference loads gather CSVs and a lineage CSV into driver dicts and
+loops; here the same algebra is joins + rollups:
+
+* `annotate` — gather rows ⋈ lineage, plus the semicolon display string
+  (tax_utils.AnnotateTaxResult / display_lineage).
+* `metagenome_summary` — per (query, rank, lineage-truncated-at-rank):
+  sum f_unique_to_query (fraction), f_unique_weighted, unique_intersect_bp
+  (QueryTaxResult.summarize_up_ranks, tax_utils.py:2328-2373), plus the
+  `unclassified` remainder row per rank (build_summarized_result,
+  tax_utils.py:2425-2450).
+* `classify_genome` — walk ranks ascending from the lowest, take the
+  best-fraction lineage at each rank, stop at the first rank whose best
+  fraction clears `containment_threshold` (status `match`), else report the
+  highest rank with status `below_threshold`
+  (tax_utils.py:2480-2530).  Divergence noted: the reference's sort is by
+  fraction only (dict-order ties); we tie-break on the lineage string for
+  determinism.
+
+At scale: gather outputs are tiny relative to the corpus and the lineage
+table is a dimension — every join here broadcasts; the rollup is one
+shuffle per rank over already-aggregated rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+RANKS = (
+    "superkingdom",
+    "phylum",
+    "class",
+    "order",
+    "family",
+    "genus",
+    "species",
+)
+
+
+def _ranks_in(lineage: DataFrame) -> list[str]:
+    return [r for r in RANKS if r in lineage.columns]
+
+
+def lineage_display(rank_cols: list[str]) -> F.Column:
+    """Semicolon-joined lineage, empty/null entries truncated
+    (RankLineageInfo.display_lineage with truncate_empty=True)."""
+    arr = F.filter(
+        F.array(*[F.coalesce(F.col(r), F.lit("")) for r in rank_cols]),
+        lambda x: x != "",
+    )
+    return F.array_join(arr, ";")
+
+
+def annotate(
+    gather: DataFrame,
+    lineage: DataFrame,
+    ident_col: str = "name",
+    lin_ident: str = "ident",
+) -> DataFrame:
+    """Gather rows + their match lineage columns + `lineage` display string
+    (`tax annotate`).  Lineage is a broadcast dimension."""
+    ranks = _ranks_in(lineage)
+    lin = F.broadcast(
+        lineage.select(F.col(lin_ident).alias(ident_col), *ranks)
+    )
+    return gather.join(lin, ident_col, "left").withColumn(
+        "lineage", lineage_display(ranks)
+    )
+
+
+def summarize_by_rank(
+    gather: DataFrame,
+    lineage: DataFrame,
+    rank: str,
+    query_col: str = "query_name",
+    ident_col: str = "name",
+    lin_ident: str = "ident",
+) -> DataFrame:
+    """(query, rank, lineage, fraction, f_weighted_at_rank,
+    bp_match_at_rank): gather results rolled up to `rank` by the lineage
+    prefix (summarize_up_ranks).  Matches without taxonomy are excluded
+    (the reference's skipped idents)."""
+    ranks = _ranks_in(lineage)
+    if rank not in ranks:
+        raise ValueError(f"rank {rank!r} not in lineage table (have {ranks})")
+    prefix = ranks[: ranks.index(rank) + 1]
+    lin = F.broadcast(
+        lineage.select(F.col(lin_ident).alias(ident_col), *prefix)
+    )
+    return (
+        gather.join(lin, ident_col)
+        .groupBy(query_col, *prefix)
+        .agg(
+            F.sum("f_unique_to_query").alias("fraction"),
+            F.sum("f_unique_weighted").alias("f_weighted_at_rank"),
+            F.sum("unique_intersect_bp").alias("bp_match_at_rank"),
+        )
+        .select(
+            query_col,
+            F.lit(rank).alias("rank"),
+            lineage_display(prefix).alias("lineage"),
+            "fraction",
+            "f_weighted_at_rank",
+            "bp_match_at_rank",
+        )
+    )
+
+
+def metagenome_summary(
+    gather: DataFrame,
+    lineage: DataFrame,
+    ranks: list[str] | None = None,
+    query_col: str = "query_name",
+    ident_col: str = "name",
+    lin_ident: str = "ident",
+) -> DataFrame:
+    """`tax metagenome` csv_summary shape: the per-rank rollups for every
+    requested rank plus one `unclassified` remainder row per (query, rank)
+    where the classified fractions do not reach 1 (build_summarized_result).
+    Requires a `query_bp` column on `gather` for the bp remainder."""
+    ranks = ranks or _ranks_in(lineage)
+    parts = [
+        summarize_by_rank(
+            gather, lineage, r, query_col, ident_col, lin_ident
+        )
+        for r in ranks
+    ]
+    summary = parts[0]
+    for p in parts[1:]:
+        summary = summary.unionByName(p)
+
+    qbp = gather.groupBy(query_col).agg(F.first("query_bp").alias("_qbp"))
+    totals = (
+        summary.groupBy(query_col, "rank")
+        .agg(
+            F.sum("fraction").alias("_f"),
+            F.sum("f_weighted_at_rank").alias("_w"),
+            F.sum("bp_match_at_rank").alias("_bp"),
+        )
+        .join(qbp, query_col)
+    )
+    # tolerance guards float accumulation noise: a fully-classified query's
+    # fraction sum lands within ~1e-16 of 1.0 in an engine-dependent order,
+    # while a TRUE remainder is >= 1 hash / query_n_hashes (>> 1e-9)
+    unclassified = (
+        totals.filter(F.lit(1.0) - F.col("_f") > 1e-9)
+        .select(
+            query_col,
+            "rank",
+            F.lit("unclassified").alias("lineage"),
+            (F.lit(1.0) - F.col("_f")).alias("fraction"),
+            (F.lit(1.0) - F.col("_w")).alias("f_weighted_at_rank"),
+            (F.col("_qbp") - F.col("_bp")).alias("bp_match_at_rank"),
+        )
+    )
+    return summary.unionByName(unclassified)
+
+
+def classify_genome(
+    gather: DataFrame,
+    lineage: DataFrame,
+    containment_threshold: float = 0.1,
+    ranks: list[str] | None = None,
+    query_col: str = "query_name",
+    ident_col: str = "name",
+    lin_ident: str = "ident",
+) -> DataFrame:
+    """`tax genome`: one row per query — the best-fraction lineage at the
+    lowest rank clearing `containment_threshold` (status `match`), else the
+    best at the highest rank (status `below_threshold`)."""
+    from pyspark.sql import Window
+
+    ranks = ranks or _ranks_in(lineage)
+    per_rank = metagenome_summary(
+        gather, lineage, ranks, query_col, ident_col, lin_ident
+    ).filter(F.col("lineage") != "unclassified")
+    # ascending walk order: lowest (most specific) rank first
+    order_map = {r: len(ranks) - 1 - i for i, r in enumerate(ranks)}
+    ord_col = F.create_map(
+        *[x for r, o in order_map.items() for x in (F.lit(r), F.lit(o))]
+    )[F.col("rank")]
+    best_w = Window.partitionBy(query_col, "rank").orderBy(
+        F.desc("fraction"), F.col("lineage")
+    )
+    best = (
+        per_rank.withColumn("_rn", F.row_number().over(best_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_ord", ord_col)
+        .withColumn(
+            "_match", F.col("fraction") >= F.lit(containment_threshold)
+        )
+    )
+    pick_w = Window.partitionBy(query_col).orderBy(
+        F.when(F.col("_match"), 0).otherwise(1),
+        F.when(F.col("_match"), F.col("_ord")).otherwise(-F.col("_ord")),
+    )
+    return (
+        best.withColumn("_rn", F.row_number().over(pick_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_col,
+            "rank",
+            "fraction",
+            "lineage",
+            "f_weighted_at_rank",
+            "bp_match_at_rank",
+            F.when(F.col("_match"), F.lit("match"))
+            .otherwise(F.lit("below_threshold"))
+            .alias("status"),
+        )
+    )

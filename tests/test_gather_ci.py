@@ -1,0 +1,76 @@
+"""GatherResult / PrefetchResult ANI confidence-interval column parity
+(reference ci_cols, search.py:393-398 + handle_ani_ci, search.py:429-434)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sourmash_spark.distances import containment_to_distance
+from sourmash_spark.hashing import u64_to_i64
+from sourmash_spark.operators.gather import gather
+from sourmash_spark.operators.prefetch import prefetch
+
+CI_COLS = [
+    "query_containment_ani_low",
+    "query_containment_ani_high",
+    "match_containment_ani_low",
+    "match_containment_ani_high",
+]
+
+SCALED = 4
+KSIZE = 12
+
+
+def _db(spark):
+    rows = []
+    rng = np.random.RandomState(7)
+    base = np.unique(rng.randint(0, 2**40, size=260).astype(np.uint64))[:200]
+    for sid in range(4):
+        sub = base[sid * 40 : sid * 40 + 80]
+        hashes = [int(x) for x in u64_to_i64(np.sort(sub))]
+        rows.append((sid, f"s{sid}", "m" * 30 + str(sid), hashes, len(hashes)))
+    return spark.createDataFrame(
+        rows, "sig_id long, name string, md5 string, hashes array<long>, n_hashes int"
+    )
+
+
+def test_gather_ci_columns(spark):
+    db = _db(spark)
+    qh = sorted({h for r in db.collect() for h in r["hashes"]})
+    out = gather(
+        spark, db, qh, scaled=SCALED, ksize=KSIZE, estimate_ani_ci=True
+    ).collect()
+    assert out
+    for r in out:
+        for c in CI_COLS:
+            assert c in r.asDict()
+        assert r["query_containment_ani_low"] <= r["query_containment_ani"] + 1e-12
+        assert r["query_containment_ani"] <= r["query_containment_ani_high"] + 1e-12
+        assert r["match_containment_ani_low"] <= r["match_containment_ani"] + 1e-12
+    # without the flag, the columns are absent (reference default)
+    cols = gather(spark, db, qh, scaled=SCALED, ksize=KSIZE).columns
+    assert not any(c in cols for c in CI_COLS)
+
+
+def test_prefetch_ci_columns_match_direct_estimates(spark):
+    db = _db(spark)
+    qh = sorted({h for r in db.collect() for h in r["hashes"]})
+    out = prefetch(
+        db, qh, SCALED, ksize=KSIZE, estimate_ani_ci=True
+    ).collect()
+    assert out
+    nq = len(qh)
+    for r in out:
+        want_q = containment_to_distance(
+            r["f_match_query"], KSIZE, SCALED, float(nq) * SCALED,
+            estimate_ci=True,
+        )
+        assert abs(r["query_containment_ani_low"] - want_q.ani_low) < 1e-9
+        assert abs(r["query_containment_ani_high"] - want_q.ani_high) < 1e-9
+        n_match = r["match_bp"] / SCALED
+        want_m = containment_to_distance(
+            r["f_query_match"], KSIZE, SCALED, float(n_match) * SCALED,
+            estimate_ci=True,
+        )
+        assert abs(r["match_containment_ani_low"] - want_m.ani_low) < 1e-9
+        assert abs(r["match_containment_ani_high"] - want_m.ani_high) < 1e-9

@@ -1,0 +1,47 @@
+"""HLL pairwise estimators vs exact set arithmetic (reference
+hll.py:53-75 semantics; estimator = inclusion-exclusion over Datasketches)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.operators import hll as hll_ops
+
+
+def test_hll_pairwise_within_rsd(spark):
+    # three groups with known overlap structure over 0..29999:
+    # A = [0, 20000), B = [10000, 30000) -> |A∩B| = 10000, |A∪B| = 30000
+    # C = [0, 5000) ⊂ A
+    rows = (
+        [("A", i) for i in range(0, 20000)]
+        + [("B", i) for i in range(10000, 30000)]
+        + [("C", i) for i in range(0, 5000)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = hll_ops.hll_sketches(df, ["g"], "v", lg_k=12)
+    pw = {
+        (r["id_a"], r["id_b"]): r
+        for r in hll_ops.hll_pairwise(sk, id_col="g").collect()
+    }
+    ab = pw[("A", "B")]
+    assert abs(ab["intersection_est"] - 10000) <= 0.05 * 30000
+    assert abs(ab["similarity_est"] - 10000 / 30000) <= 0.05
+    ac = pw[("A", "C")]
+    # C contained in A: containment(A in C's union ... a-side) sanity
+    assert abs(ac["intersection_est"] - 5000) <= 0.05 * 20000
+    assert abs(ac["containment_a_in_b_est"] - 5000 / 20000) <= 0.05
+    # disjointish pair: B vs C share nothing
+    bc = pw[("B", "C")]
+    assert bc["intersection_est"] <= 0.05 * 25000
+    assert bc["similarity_est"] <= 0.05
+
+
+def test_hll_pairwise_is_group_level_crossjoin(spark):
+    """The crossJoin is over the GROUP dimension (one row per group), never
+    the corpus — assert the input to the join is the aggregated table."""
+    rows = [("g" + str(i % 4), i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = hll_ops.hll_sketches(df, ["g"], "v")
+    out = hll_ops.hll_pairwise(sk, id_col="g")
+    assert out.count() == 6  # C(4,2)
+    assert sk.count() == 4

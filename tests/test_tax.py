@@ -1,0 +1,108 @@
+"""Taxonomy rollups vs hand-computed lineage fractions (reference model:
+tests/test_tax.py of the reference; values here computed by hand)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sourmash_spark.operators import tax
+
+
+def _gather(spark):
+    # query q1: 3 matches; fractions sum to 0.8 -> 0.2 unclassified
+    rows = [
+        # query, name, f_unique_to_query, f_unique_weighted, unique_intersect_bp, query_bp
+        ("q1", "gA", 0.5, 0.6, 500, 1000),
+        ("q1", "gB", 0.2, 0.15, 200, 1000),
+        ("q1", "gC", 0.1, 0.05, 100, 1000),
+        ("q2", "gA", 0.05, 0.04, 50, 2000),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "query_name string, name string, f_unique_to_query double, "
+        "f_unique_weighted double, unique_intersect_bp long, query_bp long",
+    )
+
+
+def _lineage(spark):
+    rows = [
+        ("gA", "Bacteria", "Proteo", "sA"),
+        ("gB", "Bacteria", "Proteo", "sB"),
+        ("gC", "Bacteria", "Firmi", "sC"),
+    ]
+    return spark.createDataFrame(
+        rows, "ident string, superkingdom string, phylum string, species string"
+    )
+
+
+def test_annotate_adds_display_lineage(spark):
+    out = tax.annotate(_gather(spark), _lineage(spark)).collect()
+    by = {(r["query_name"], r["name"]): r["lineage"] for r in out}
+    assert by[("q1", "gA")] == "Bacteria;Proteo;sA"
+    assert by[("q1", "gC")] == "Bacteria;Firmi;sC"
+
+
+def test_summarize_by_rank_sums_lineage_prefixes(spark):
+    out = tax.summarize_by_rank(
+        _gather(spark), _lineage(spark), "phylum"
+    ).collect()
+    q1 = {r["lineage"]: r for r in out if r["query_name"] == "q1"}
+    # gA + gB share Bacteria;Proteo: fractions sum
+    assert q1["Bacteria;Proteo"]["fraction"] == pytest.approx(0.7)
+    assert q1["Bacteria;Proteo"]["f_weighted_at_rank"] == pytest.approx(0.75)
+    assert q1["Bacteria;Proteo"]["bp_match_at_rank"] == 700
+    assert q1["Bacteria;Firmi"]["fraction"] == pytest.approx(0.1)
+
+
+def test_metagenome_summary_emits_unclassified_remainder(spark):
+    out = tax.metagenome_summary(
+        _gather(spark), _lineage(spark), ranks=["superkingdom", "phylum"]
+    ).collect()
+    q1p = {
+        r["lineage"]: r
+        for r in out
+        if r["query_name"] == "q1" and r["rank"] == "phylum"
+    }
+    assert q1p["unclassified"]["fraction"] == pytest.approx(0.2)
+    assert q1p["unclassified"]["f_weighted_at_rank"] == pytest.approx(0.2)
+    assert q1p["unclassified"]["bp_match_at_rank"] == 200
+    q1sk = {
+        r["lineage"]: r
+        for r in out
+        if r["query_name"] == "q1" and r["rank"] == "superkingdom"
+    }
+    assert q1sk["Bacteria"]["fraction"] == pytest.approx(0.8)
+
+
+def test_classify_genome_walks_up_until_threshold(spark):
+    g, lin = _gather(spark), _lineage(spark)
+    # species level: best is sA at 0.5 -> match at species for q1
+    out = {r["query_name"]: r for r in tax.classify_genome(
+        g, lin, containment_threshold=0.4,
+        ranks=["superkingdom", "phylum", "species"],
+    ).collect()}
+    assert out["q1"]["rank"] == "species"
+    assert out["q1"]["lineage"] == "Bacteria;Proteo;sA"
+    assert out["q1"]["status"] == "match"
+    # q2 best fraction is 0.05 everywhere -> below_threshold at the highest
+    # rank (superkingdom)
+    assert out["q2"]["rank"] == "superkingdom"
+    assert out["q2"]["status"] == "below_threshold"
+    # with a 0.6 threshold q1 only clears at phylum (0.7)
+    out2 = {r["query_name"]: r for r in tax.classify_genome(
+        g, lin, containment_threshold=0.6,
+        ranks=["superkingdom", "phylum", "species"],
+    ).collect()}
+    assert out2["q1"]["rank"] == "phylum"
+    assert out2["q1"]["fraction"] == pytest.approx(0.7)
+    assert out2["q1"]["status"] == "match"
+
+
+def test_classify_uses_broadcast_joins(spark):
+    plan = (
+        tax.classify_genome(_gather(spark), _lineage(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
