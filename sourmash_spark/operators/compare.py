@@ -89,7 +89,9 @@ def compare_all_pairs(
 
     mode: jaccard | containment (a in b) | max_containment | avg_containment
     """
-    if "scaled" in sigs.columns:
+    # passing `scaled` asserts a uniform resolution and skips the metadata
+    # job below (a driver round-trip at plan-build time)
+    if scaled is None and "scaled" in sigs.columns:
         scaled_vals = [
             r["scaled"] for r in sigs.select("scaled").distinct().collect()
         ]
@@ -98,8 +100,8 @@ def compare_all_pairs(
 
             common = int(max(scaled_vals))
             sigs = downsample_signatures(sigs, common)
-            scaled = scaled or common
-        elif scaled is None and scaled_vals:
+            scaled = common
+        elif scaled_vals:
             scaled = int(scaled_vals[0])
     sizes = sigs.select(
         F.col(sig_id).alias("_sid"), F.col("n_hashes").alias("_n")

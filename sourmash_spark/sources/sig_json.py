@@ -151,7 +151,10 @@ def import_signatures_json(df: DataFrame, json_col: str = "sig_json") -> DataFra
                             abunds = np.ones(mins.size, dtype=np.int64)
                         max_hash = int(sig.get("max_hash", 0))
                         num = 0 if max_hash else int(sig.get("num", 0))
-                        molecule = sig.get("molecule", "dna")
+                        # case-insensitive: real reference artifacts write
+                        # "DNA" (tests/test-data/47.fa.sig), newer code
+                        # lowercases
+                        molecule = sig.get("molecule", "dna").lower()
                         ksize = int(sig["ksize"])
                         if molecule != "dna":
                             ksize //= 3
