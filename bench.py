@@ -113,7 +113,7 @@ def main() -> None:
         "winnow", lambda: text_ops.winnow_fingerprints(docs, k=8, window=4).count()
     )
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     from sourmash_spark.operators.ann import cosine_topk
 
     timed(
@@ -125,6 +125,24 @@ def main() -> None:
             ),
             k=5,
         ).count(),
+    )
+
+    from sourmash_spark.operators.ann import embedding_neardup_lsh, perturb_copies
+
+    aug = perturb_copies(embs, n_copies=50, dim=entrymod.EMB_DIM).cache()
+    aug.count()
+    timed(
+        "emb_neardup_lsh",
+        lambda: embedding_neardup_lsh(
+            aug, threshold=0.9, n_tables=entrymod.EMB_TABLES,
+            n_planes=entrymod.EMB_PLANES, dim=entrymod.EMB_DIM,
+        ).count(),
+    )
+    aug.unpersist()
+
+    timed(
+        "tax_metagenome",
+        lambda: entrymod.queries()["tax_metagenome_murmur"](spark, sf_dir).count(),
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -57,8 +57,10 @@ def _dot(vec_col: str, comps: list[float]) -> F.Column:
     unrolling 64 terms x 48 planes overflows the JVM's 64KB codegen method
     limit.  The fold order ((0+p0)+p1)+... is part of the cross-engine
     contract — the SQL twin's list_reduce groups ((p0+p1)+p2), identical
-    because 0.0+x == x exactly in IEEE."""
-    lit_arr = F.array(*[F.lit(c) for c in comps])
+    because 0.0+x == x exactly in IEEE.  One F.lit per plane (an array
+    literal), not per component: 64 py4j round-trips per plane made plan
+    CONSTRUCTION dominate execution 5:1."""
+    lit_arr = F.lit(list(comps))
     return F.aggregate(
         F.zip_with(
             F.col(vec_col), lit_arr, lambda x, c: x.cast("double") * c
@@ -68,15 +70,61 @@ def _dot(vec_col: str, comps: list[float]) -> F.Column:
     )
 
 
-def _bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
-    bucket = None
-    for p, comps in enumerate(planes):
-        bit = F.when(_dot(vec_col, comps) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+def _dots_array(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Array of dot products against EVERY plane in one nested-lambda pass
+    over a 2-D literal matrix.  One expression node regardless of plane
+    count — 48 separate aggregate trees made Catalyst optimization time
+    dominate execution on small inputs.  Fold order per plane is identical
+    to `_dot`."""
+    # the plane matrix goes through ONE F.expr string parsed JVM-side:
+    # F.lit on a nested python list boxes every double through py4j
+    # (~2s of driver time for 48x64 at plan build)
+    matrix = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{c!r}D" for c in p) + ")" for p in planes
         )
+        + ")"
+    )
+    return F.transform(
+        matrix,
+        lambda plane: F.aggregate(
+            F.zip_with(
+                F.col(vec_col), plane, lambda x, c: x.cast("double") * c
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _let(col: F.Column, fn) -> F.Column:
+    """Let-binding idiom: evaluate `col` ONCE per row and bind it into `fn`
+    as a lambda variable.  Lambda-bearing expressions are excluded from
+    Spark's common-subexpression elimination, so referencing a dots array
+    48 times would re-run the whole transform 48 times per row (measured
+    10x slowdown) — a lambda variable reference is free."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def _bucket_from_dots(dots: F.Column, n_planes: int, offset: int = 0) -> F.Column:
+    """Bucket id from the sign pattern of dots[offset : offset+n_planes].
+    `dots` MUST be a cheap reference (lambda variable) — see `_let`."""
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(
+            F.element_at(dots, offset + p + 1) >= 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = bit * F.lit(1 << p).cast("long")
         bucket = term if bucket is None else bucket + term
     return bucket
+
+
+def _bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
+    return _let(
+        _dots_array(vec_col, planes),
+        lambda d: _bucket_from_dots(d, len(planes)),
+    )
 
 
 def dot_sql(vec_expr: str, comps: list[float]) -> str:
@@ -116,6 +164,33 @@ def probes_sql(vec_expr: str, planes: list[list[float]], n_probes: int) -> str:
     )
 
 
+def _dot_cols(a: str, b: str, dim: int) -> F.Column:
+    """Dot product of two array columns via zip_with/aggregate (same fold
+    as docops.cosine_similarity's numerator).  An unrolled 64-term
+    element_at chain was measured 3x SLOWER — per-element bounds-checked
+    virtual calls beat the HOF loop only on paper."""
+    del dim  # kept for signature stability; the fold handles any length
+    return F.aggregate(
+        F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(vec_col: str) -> F.Column:
+    """sqrt(sum x^2) with the same fold docops.cosine_similarity uses —
+    computed ONCE per vector, not once per pair."""
+    return F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
 def _infer_dim(embs: DataFrame, vec_col: str) -> int:
     """Fallback only — fires an extra job at plan-build time.  Callers that
     know the embedding dimension should pass `dim` explicitly."""
@@ -138,9 +213,7 @@ def perturb_copies(
     Pure column arithmetic — the DuckDB twin reproduces it bit-exactly."""
     if dim is None:
         dim = _infer_dim(embs, vec_col)
-    noise_arr = F.array(
-        *[F.lit(noise * plane_component(999, d)) for d in range(dim)]
-    )
+    noise_arr = F.lit([noise * plane_component(999, d) for d in range(dim)])
     base = embs.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
@@ -217,19 +290,21 @@ def hyperplane_lsh_tables(
     near-dup: candidate iff same bucket in >= 1 table."""
     if dim is None:
         dim = _infer_dim(embs, vec_col)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("table_idx"),
-                _bucket(vec_col, plane_matrix(n_planes, dim, t * n_planes)).alias(
-                    "bucket"
-                ),
-            )
-            for t in range(n_tables)
-        ]
+    # ALL n_tables*n_planes dots in one pass over the vector (let-bound so
+    # they are computed exactly once per row), then one bucket per table
+    # from its slice of the dots array
+    all_planes = plane_matrix(n_tables * n_planes, dim)
+    buckets = _let(
+        _dots_array(vec_col, all_planes),
+        lambda d: F.array(
+            *[
+                _bucket_from_dots(d, n_planes, t * n_planes)
+                for t in range(n_tables)
+            ]
+        ),
     )
-    return embs.select(F.col(id_col), F.explode(rows).alias("_tb")).select(
-        id_col, F.col("_tb.table_idx"), F.col("_tb.bucket")
+    return embs.select(
+        F.col(id_col), F.posexplode(buckets).alias("table_idx", "bucket")
     )
 
 
@@ -271,14 +346,25 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = embs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = embs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # exact verify: norms once per vector, unrolled dot per pair (codegen)
+    va = embs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(vec_col).alias("_na"),
+    )
+    vb = embs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(vec_col).alias("_nb"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            F.round(docops.cosine_similarity(F.col("va"), F.col("vb")), 6),
+            F.round(
+                _dot_cols("va", "vb", dim) / (F.col("_na") * F.col("_nb")), 6
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -290,22 +376,27 @@ def _probe_buckets(
 ) -> F.Column:
     """Array of probe buckets: the base bucket plus `n_probes` single-bit
     flips of the lowest-|margin| planes (multiprobe LSH).  Margin order is
-    (abs(dot), plane) — deterministic and SQL-reproducible."""
-    base = _bucket(vec_col, planes)
-    margins = F.array(
-        *[
-            F.struct(
-                F.abs(_dot(vec_col, comps)).alias("m"),
-                F.lit(1 << p).cast("long").alias("mask"),
-            )
-            for p, comps in enumerate(planes)
-        ]
-    )
-    flips = F.transform(
-        F.slice(F.array_sort(margins), 1, n_probes),
-        lambda s: base.bitwiseXOR(s["mask"]),
-    )
-    return F.concat(F.array(base), flips)
+    (abs(dot), plane) — deterministic and SQL-reproducible.  Dots are
+    let-bound (computed once per row)."""
+
+    def build(d: F.Column) -> F.Column:
+        base = _bucket_from_dots(d, len(planes))
+        margins = F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(d, p + 1)).alias("m"),
+                    F.lit(1 << p).cast("long").alias("mask"),
+                )
+                for p in range(len(planes))
+            ]
+        )
+        flips = F.transform(
+            F.slice(F.array_sort(margins), 1, n_probes),
+            lambda s: base.bitwiseXOR(s["mask"]),
+        )
+        return F.concat(F.array(base), flips)
+
+    return _let(_dots_array(vec_col, planes), build)
 
 
 def lsh_topk(

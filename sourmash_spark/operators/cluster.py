@@ -77,7 +77,14 @@ def connected_components(
     union-find on the driver (eliminates the per-round job latency that
     dominates small graphs); above it, distributed min-label propagation.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    # materialize the (small) distinct edge list once — the threshold count
+    # and the collect/propagation rounds below must not recompute the
+    # upstream candidate+verify joins
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     if driver_threshold and e.count() <= driver_threshold:
         return _driver_union_find(e)
     # undirected: keep both directions for min-label propagation
