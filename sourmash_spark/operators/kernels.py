@@ -173,3 +173,18 @@ def downsample_hashes(hashes: Column, new_scaled: int) -> Column:
 
 def scaled_max_hash_lit(scaled: int) -> Column:
     return F.lit(u64_to_i64(max_hash_for_scaled(scaled)))
+
+
+def format_bp(bp: Column) -> Column:
+    """Pretty-print bp counts — `search.py:667-678` behavior as a column
+    expression (boundary quirks preserved: <500 bp, <=500e3 kbp, <500e6
+    Mbp, <500e9 Gbp, else '???').  bround = HALF_EVEN matches Python's
+    round()."""
+    b = bp.cast("double")
+    return (
+        F.when(b < 500.0, F.format_string("%.0f bp", b))
+        .when(b <= 500e3, F.format_string("%.1f kbp", F.bround(b / 1e3, 1)))
+        .when(b < 500e6, F.format_string("%.1f Mbp", F.bround(b / 1e6, 1)))
+        .when(b < 500e9, F.format_string("%.1f Gbp", F.bround(b / 1e9, 1)))
+        .otherwise(F.lit("???"))
+    )

@@ -1,0 +1,35 @@
+"""format_bp column expression vs the reference formula
+(search.py:667-678), including boundary quirks and banker's rounding."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.operators.kernels import format_bp
+
+
+def _ref(bp):
+    bp = float(bp)
+    if bp < 500:
+        return f"{bp:.0f} bp"
+    elif bp <= 500e3:
+        return f"{round(bp / 1e3, 1):.1f} kbp"
+    elif bp < 500e6:
+        return f"{round(bp / 1e6, 1):.1f} Mbp"
+    elif bp < 500e9:
+        return f"{round(bp / 1e9, 1):.1f} Gbp"
+    return "???"
+
+
+def test_format_bp_matches_reference(spark):
+    vals = [
+        0, 1, 499, 500, 1250, 1350, 5000, 500_000, 500_001, 2_500_000,
+        499_999_999, 499_000_000_000, 500_000_000_000, 501_000_000_000,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "bp long")
+    got = {
+        r["bp"]: r["s"]
+        for r in df.select("bp", format_bp(F.col("bp")).alias("s")).collect()
+    }
+    for v in vals:
+        assert got[v] == _ref(v), (v, got[v], _ref(v))
