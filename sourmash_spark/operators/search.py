@@ -43,6 +43,7 @@ def search(
     best_only: bool = False,
     query_md5: str = "",
     sig_id: str = "sig_id",
+    estimate_ani_ci: bool = False,
 ) -> DataFrame:
     """One query sketch vs a signatures table.
 
@@ -50,6 +51,13 @@ def search(
     analog of the reference loading one query signature).  Returns
     SearchResult-shaped rows (search.py:294-307): similarity, md5, name,
     query_md5, ani — ordered desc, deduped on md5.
+
+    `estimate_ani_ci` appends the reference's SearchResult ci_cols
+    (ani_low/ani_high, search.py:305) — containment modes only, like the
+    reference (estimate_search_ani computes CIs for CONTAINMENT and
+    MAX_CONTAINMENT; jaccard ANI carries no CI, search.py:334-355).  The
+    CI's set size is the containment denominator (query for containment,
+    min(query, match) for max_containment).
     """
     q = F.lit(query_hashes).cast("array<long>")
     inter = kernels.intersect_size(F.col("hashes"), q)
@@ -66,24 +74,44 @@ def search(
         if threshold > 0
         else (F.col("similarity") > 0.0) & (F.col("similarity") >= threshold)
     )
+    want_ci = estimate_ani_ci and mode in ("containment", "max_containment")
+    cols = [
+        F.col(sig_id),
+        F.col("similarity"),
+        F.col("md5"),
+        name_col.alias("name"),
+        F.lit(query_md5).alias("query_md5"),
+        (
+            kernels.containment_ani_point(F.col("similarity"), F.lit(ksize))
+            if mode in ("containment", "max_containment")
+            else kernels.jaccard_ani_point(F.col("similarity"), F.lit(ksize))
+        ).alias("ani"),
+    ]
+    if want_ci:
+        n_col = (
+            F.lit(float(len(query_hashes)))
+            if mode == "containment"
+            else F.least(F.lit(len(query_hashes)), size_m).cast("double")
+        )
+        cols.append(n_col.alias("_n"))
     out = (
         db.withColumn("similarity", score)
         .filter(passes)
-        .select(
-            F.col(sig_id),
-            "similarity",
-            "md5",
-            name_col.alias("name"),
-            F.lit(query_md5).alias("query_md5"),
-            (
-                kernels.containment_ani_point(F.col("similarity"), F.lit(ksize))
-                if mode in ("containment", "max_containment")
-                else kernels.jaccard_ani_point(F.col("similarity"), F.lit(ksize))
-            ).alias("ani"),
-        )
+        .select(*cols)
         .dropDuplicates(["md5"])
         .orderBy(F.desc("similarity"), "md5")
     )
+    if want_ci:
+        from ..distances import with_containment_ani_ci
+
+        out = with_containment_ani_ci(
+            out, "similarity", "_n", ksize, scaled or 1, prefix="_ci_"
+        )
+        out = (
+            out.withColumnRenamed("_ci_ani_low", "ani_low")
+            .withColumnRenamed("_ci_ani_high", "ani_high")
+            .drop("_n", "_ci_ani", "_ci_p_nothing_in_common")
+        )
     if best_only:
         return out.limit(1)
     if num_results:

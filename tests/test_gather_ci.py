@@ -74,3 +74,29 @@ def test_prefetch_ci_columns_match_direct_estimates(spark):
         )
         assert abs(r["match_containment_ani_low"] - want_m.ani_low) < 1e-9
         assert abs(r["match_containment_ani_high"] - want_m.ani_high) < 1e-9
+
+
+def test_search_ci_columns(spark):
+    from sourmash_spark.operators.search import search
+
+    db = _db(spark)
+    qh = [h for h in db.collect()[0]["hashes"]]
+    out = search(
+        db, qh, threshold=0.0, mode="containment", scaled=SCALED,
+        ksize=KSIZE, estimate_ani_ci=True,
+    ).collect()
+    assert out
+    nq = float(len(qh))
+    for r in out:
+        want = containment_to_distance(
+            r["similarity"], KSIZE, SCALED, nq * SCALED, estimate_ci=True
+        )
+        assert abs(r["ani_low"] - want.ani_low) < 1e-9
+        assert abs(r["ani_high"] - want.ani_high) < 1e-9
+        assert r["ani_low"] <= r["ani"] + 1e-12 <= r["ani_high"] + 2e-12
+    # jaccard mode: no CI columns (reference parity)
+    cols = search(
+        db, qh, threshold=0.0, mode="jaccard", estimate_ani_ci=True,
+        ksize=KSIZE,
+    ).columns
+    assert "ani_low" not in cols
