@@ -317,3 +317,111 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _winnow_fp_postings(
+    docs: DataFrame,
+    k: int,
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """(grams, fps): every k-gram position with its hash60, and the distinct
+    winnowing-selected fingerprints per doc (min hash of each sliding window
+    of `window` consecutive gram hashes — Schleimer et al.'s scheme, the
+    same selection text.winnow_fingerprints counts)."""
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(docops.char_shingles(F.col(text_col), k)).alias(
+            "pos", "gram"
+        ),
+    ).select(id_col, "pos", docops.hash60(F.col("gram")).alias("h"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    n = Window.partitionBy(id_col)
+    fps = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .withColumn("max_pos", F.max("pos").over(n))
+        .filter(F.col("pos") <= F.col("max_pos") - (window - 1))
+        .select(id_col, "fp")
+        .distinct()
+    )
+    return grams, fps
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    min_len: int = 40,
+    k: int = 24,
+    min_shared: int = 1,
+    df_cap: int = DEFAULT_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicated-substring pairs — the scalable stand-in for suffix-array
+    substring dedup (Lee et al. 2022 find repeated spans with a suffix
+    array; a distributed suffix array is not a Spark-shaped object).
+
+    Winnowing guarantee (MOSS): two documents sharing a literal substring
+    of length >= k + window - 1 == `min_len` share at least one selected
+    fingerprint, so recall at min_len is 1 (up to hash60 collisions,
+    ~2^-60).  Plan: per-doc fingerprint selection is a window function
+    (one shuffle on doc_id), candidates are an inverted-index equi-join on
+    the fingerprint with the df-cap boilerplate guard — never all-pairs.
+
+    Output: (id_a, id_b, n_shared_fps) with >= min_shared shared
+    fingerprints."""
+    window = min_len - k + 1
+    if window < 1:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    _, fps = _winnow_fp_postings(docs, k, window, id_col, text_col)
+    if df_cap:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    k: int = 24,
+    df_cap: int = DEFAULT_DF_CAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated spans for masking/removal: every k-gram
+    occurrence (doc_id, pos, length=k) whose hash is a winnowing
+    fingerprint selected in >= 2 distinct documents — i.e. literal text
+    shared across documents, located.  The removal-side complement of
+    `substring_dup_pairs` (what `dedup_exact` is to near-dup)."""
+    window = min_len - k + 1
+    if window < 1:
+        raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    grams, fps = _winnow_fp_postings(docs, k, window, id_col, text_col)
+    shared = (
+        fps.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+    )
+    if df_cap:
+        shared = shared.filter(F.col("nd") <= df_cap)
+    return (
+        grams.join(shared.select(F.col("fp").alias("h")), "h")
+        .select(
+            id_col,
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            F.lit(k).cast("int").alias("length"),
+        )
+    )
