@@ -6,7 +6,7 @@ Each operator is a pure DataFrame plan; every one has a DuckDB oracle in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from . import docops
@@ -329,21 +329,22 @@ def _winnow_fp_postings(
     """(grams, fps): every k-gram position with its hash60, and the distinct
     winnowing-selected fingerprints per doc (min hash of each sliding window
     of `window` consecutive gram hashes — Schleimer et al.'s scheme, the
-    same selection text.winnow_fingerprints counts)."""
+    same selection text.winnow_fingerprints counts).  Fingerprint selection
+    is a pure column expression (docops.winnow_mins) — no shuffle; the only
+    exchanges in the dedup plans are the fingerprint equi-joins."""
     grams = docs.select(
         F.col(id_col),
         F.posexplode(docops.char_shingles(F.col(text_col), k)).alias(
             "pos", "gram"
         ),
     ).select(id_col, "pos", docops.hash60(F.col("gram")).alias("h"))
-    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    n = Window.partitionBy(id_col)
-    fps = (
-        grams.withColumn("fp", F.min("h").over(win))
-        .withColumn("max_pos", F.max("pos").over(n))
-        .filter(F.col("pos") <= F.col("max_pos") - (window - 1))
-        .select(id_col, "fp")
-        .distinct()
+    fps = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                docops.winnow_mins(F.col(text_col), k, window)
+            )
+        ).alias("fp"),
     )
     return grams, fps
 

@@ -20,6 +20,34 @@ def max_hash60(scaled: int) -> int:
     return HASH60_SPACE // scaled
 
 
+def let(col: Column, fn) -> Column:
+    """Let-binding idiom: evaluate `col` ONCE per row and bind it into `fn`
+    as a lambda variable.  Lambda-bearing expressions are excluded from
+    Spark's common-subexpression elimination, and an expression captured
+    inside a transform lambda is re-evaluated per ELEMENT — binding first
+    makes references free."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
+def winnow_mins(text: Column, k: int, window: int) -> Column:
+    """Array of winnowing window-minima (Schleimer et al.): hash60 every
+    k-gram, min of each sliding window of `window` consecutive hashes.
+    Pure column expression — NO shuffle (the Window-function formulation
+    shuffles the whole exploded gram table on doc_id; per-document work
+    belongs inside the row).  O(n_grams * window) compute per doc."""
+    hashes = F.transform(char_shingles(text, k), lambda g: hash60(g))
+    return let(
+        hashes,
+        lambda h: F.when(
+            F.size(h) >= window,
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - (window - 1)),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+
+
 def hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 

@@ -5,7 +5,7 @@ has a DuckDB oracle in __spark_entry__."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from . import docops
@@ -98,36 +98,24 @@ def winnow_fingerprints(
     """Winnowing document fingerprints (Schleimer et al.): hash every k-gram
     (rolling hash stand-in = hash60), take the min of each sliding window of
     `window` consecutive k-gram hashes, count distinct selected hashes.
-    Implemented with posexplode + a row-range window function."""
-    grams = docs.select(
+    Pure column expression via docops.winnow_mins — NO shuffle (the
+    Window-function formulation this replaces shuffled the whole exploded
+    gram table on doc_id)."""
+    wm = docops.winnow_mins(F.col(text_col), k, window)
+    out = docs.select(
         F.col(id_col),
-        F.posexplode(docops.char_shingles(F.col(text_col), k)).alias(
-            "pos", "gram"
-        ),
-    ).withColumn("h", docops.hash60(F.col("gram")))
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
-    )
-    n_grams = Window.partitionBy(id_col)
-    fp = (
-        grams.withColumn("win_min", F.min("h").over(win))
-        .withColumn("max_pos", F.max("pos").over(n_grams))
-        # windows that would run past the end are not emitted
-        .filter(F.col("pos") <= F.col("max_pos") - (window - 1))
-        .groupBy(id_col)
-        .agg(
-            F.countDistinct("win_min").cast("long").alias("n_fingerprints"),
-            F.min("win_min").alias("min_fingerprint"),
-        )
+        docops.let(
+            wm,
+            lambda w: F.struct(
+                F.size(F.array_distinct(w)).cast("long").alias("n"),
+                F.array_min(w).alias("mn"),
+            ),
+        ).alias("_fp"),
     )
     return (
-        docs.select(id_col)
-        .join(fp, id_col, "left")
-        .select(
+        out.select(
             id_col,
-            F.coalesce("n_fingerprints", F.lit(0)).alias("n_fingerprints"),
-            "min_fingerprint",
+            F.col("_fp.n").alias("n_fingerprints"),
+            F.col("_fp.mn").alias("min_fingerprint"),
         )
     )

@@ -57,3 +57,19 @@ def test_min_len_guarantee_boundary(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     hit = dedup.substring_dup_pairs(docs, min_len=42, k=24).count()
     assert hit == 1
+
+
+def test_fingerprint_selection_is_shuffle_free(spark):
+    """Winnowing fingerprint selection must be a narrow projection — the
+    only exchanges in the pair plan are the fingerprint equi-join and its
+    aggregation, never a per-document window shuffle."""
+    from sourmash_spark.operators import text as text_ops
+
+    plan = (
+        text_ops.winnow_fingerprints(_docs(spark), k=8, window=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Window" not in plan
