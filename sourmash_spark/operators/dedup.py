@@ -188,11 +188,15 @@ def lsh_bands60(
     width = space // m + 1
     rows = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
+        # exact long arithmetic (h - h%w == i*w ≡ h//w == i for h >= 0):
+        # float division rounds hashes above 2**53 and can disagree with
+        # the oracle's integer `//` at range boundaries (see operators/lsh)
         lambda i: F.coalesce(
             F.array_min(
                 F.filter(
                     F.col("hashes"),
-                    lambda h: F.floor(h / F.lit(width)) == i.cast("long"),
+                    lambda h: (h - (h % F.lit(width)))
+                    == i.cast("long") * F.lit(width),
                 )
             ),
             F.lit(-1).cast("long"),
