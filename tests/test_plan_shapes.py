@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the properties PLANS.md claims must
+survive refactors — column pruning into the scan, broadcast dims,
+no cartesian products in candidate stages, whole-stage codegen presence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.params import LSHParams, SketchParams
+from sourmash_spark.sketch import sketch_signatures
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sketch_scan_prunes_columns(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("sig_id"), F.col("text").alias("content")
+    )
+    sigs = sketch_signatures(docs, SketchParams(ksize=12, scaled=8),
+                             keep_cols=["sig_id"])
+    plan = _plan(sigs)
+    # the parquet scan must read ONLY the two needed columns
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
+    # and the sketch stage itself introduces no shuffle
+    assert "Exchange" not in plan
+
+
+def test_threshold_filter_pushed_to_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    plan = _plan(docs.select("doc_id"))
+    assert "PushedFilters" in plan
+    assert "LessThan(doc_id,50)" in plan.replace(" ", "")
+
+
+def test_candidate_stage_is_equijoin_not_cartesian(spark):
+    from sourmash_spark.operators.lsh import band_signatures, candidate_pairs
+
+    sigs = sketch_signatures(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.col("doc_id").alias("sig_id"), F.col("text").alias("content")
+        ),
+        SketchParams(ksize=12, scaled=8),
+        keep_cols=["sig_id"],
+    )
+    cands = candidate_pairs(
+        band_signatures(sigs, LSHParams(16, 2), scaled=8), bucket_cap=200
+    )
+    plan = _plan(cands)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_verify_stage_has_no_python_nodes(spark):
+    """The exact-jaccard verification kernels are column expressions — the
+    plan must contain NO Python evaluation nodes after the (Arrow-batched)
+    sketch stage.  (WholeStageCodegen labels only appear on finalized AQE
+    plans, so assert the absence of the slow path instead.)"""
+    from sourmash_spark.operators.lsh import (
+        band_signatures,
+        candidate_pairs,
+        verify_pairs,
+    )
+
+    sigs = sketch_signatures(
+        spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.col("doc_id").alias("sig_id"), F.col("text").alias("content")
+        ),
+        SketchParams(ksize=12, scaled=8),
+        keep_cols=["sig_id"],
+    ).cache()
+    edges = verify_pairs(
+        candidate_pairs(band_signatures(sigs, LSHParams(16, 2), scaled=8)),
+        sigs, scaled=8, ksize=12, threshold=0.5,
+    )
+    plan = _plan(edges)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_picklist_uses_broadcast_join(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["picklist_include"](spark._jsparkSession and spark, SF)
+    assert "BroadcastHashJoin" in _plan(df) or "BroadcastExchange" in _plan(df)
