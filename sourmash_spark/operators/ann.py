@@ -371,6 +371,119 @@ def embedding_neardup_lsh(
     )
 
 
+def _sqdist(a: str, b: str) -> F.Column:
+    """Squared euclidean distance of two array columns — zip_with/aggregate
+    fold (same cross-engine grouping contract as _dot_cols)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    embs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, cell, cell_rank): each vector's `n_probe` nearest codebook
+    cells by squared euclidean distance (tie-break on cell id).  The
+    centroid table is a broadcast dimension (IVF codebooks are small —
+    hundreds to tens of thousands of rows)."""
+    cents = F.broadcast(
+        centroids.select(
+            F.col("cell").alias("_cell"), F.col(vec_col).alias("_cv")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("_d", "_cell")
+    return (
+        embs.select(id_col, F.col(vec_col).alias("_v"))
+        .crossJoin(cents)
+        .withColumn("_d", _sqdist("_v", "_cv"))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select(id_col, F.col("_cell").alias("cell"), "cell_rank")
+    )
+
+
+def ivf_topk(
+    embs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """IVF ANN top-k: coarse-quantize the corpus into codebook cells
+    (each vector to its nearest centroid), probe each query's `n_probe`
+    nearest cells, exact cosine rank within the probed cells only.
+
+    `centroids` defaults to the vectors with id < n_cells — a deterministic
+    seed codebook (callers at scale supply an offline-trained one, e.g.
+    sampled k-means; the operator only needs SOME small centroid dim).
+    Plan: one broadcast assign per side, candidates via equi-join on cell —
+    never a corpus cross join; expected candidate fraction ~ n_probe /
+    n_cells of the corpus."""
+    if centroids is None:
+        centroids = embs.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), vec_col
+        )
+    corpus_cells = ivf_assign(embs, centroids, id_col, vec_col, n_probe=1)
+    query_cells = ivf_assign(
+        queries.withColumnRenamed(query_id, id_col),
+        centroids, id_col, vec_col, n_probe=n_probe,
+    ).withColumnRenamed(id_col, query_id)
+
+    corpus = embs.join(corpus_cells.select(id_col, "cell"), id_col).select(
+        id_col, F.col(vec_col).alias("cv"), "cell", _norm(vec_col).alias("_nc")
+    )
+    qs = queries.join(query_cells.select(query_id, "cell"), query_id).select(
+        query_id, F.col(vec_col).alias("qv"), "cell",
+        _norm(vec_col).alias("_nq"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "cell")
+        .filter(F.col(id_col) != F.col(query_id))
+        # a candidate may surface through several probed cells
+        .groupBy(query_id, id_col)
+        .agg(
+            F.first("qv").alias("qv"), F.first("cv").alias("cv"),
+            F.first("_nq").alias("_nq"), F.first("_nc").alias("_nc"),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("cv"),
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
 def _probe_buckets(
     vec_col: str, planes: list[list[float]], n_probes: int
 ) -> F.Column:

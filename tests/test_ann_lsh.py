@@ -94,3 +94,35 @@ def test_perturb_copies_shape(spark):
     top = pairs.filter(F.col("id_b") >= 100_000).collect()
     assert len(top) >= 50
     assert all(r["cosine"] < 1.0 for r in top if r["id_a"] + 100_000 == r["id_b"])
+
+
+def test_ivf_topk_finds_planted_neardups(spark):
+    from sourmash_spark.operators.ann import ivf_topk
+
+    aug = _aug(spark).cache()
+    queries = aug.filter(F.col("vec_id") >= 100_000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(aug, queries, k=1, n_cells=16, n_probe=4)
+    best = {r["query_id"]: r["vec_id"] for r in out.filter(
+        F.col("rank") == 1
+    ).collect()}
+    recall = sum(1 for q, v in best.items() if v == q - 100_000) / 50.0
+    # a near-identical copy quantizes to the same (or an adjacent probed)
+    # cell almost surely
+    assert recall >= 0.9
+
+
+def test_ivf_candidates_bounded_by_cells(spark):
+    from sourmash_spark.operators.ann import ivf_assign
+
+    embs = _embs(spark)
+    cents = embs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), "embedding"
+    )
+    cells = ivf_assign(embs, cents, n_probe=1)
+    assert cells.count() == embs.count()  # every vector exactly one cell
+    sizes = cells.groupBy("cell").count().collect()
+    assert len(sizes) <= 8
+    plan = cells._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
