@@ -1,0 +1,69 @@
+"""Randomized cross-validation of the column-expression winnowing against
+an independent pure-Python implementation, plus the downsample composition
+law (FracMinHash: two-step downsample == one-step)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.operators import docops
+
+
+def _hash60_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _winnow_py(text: str, k: int, window: int) -> list[int]:
+    hashes = [_hash60_py(text[i : i + k]) for i in range(len(text) - k + 1)]
+    if len(hashes) < window:
+        return []
+    return [
+        min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)
+    ]
+
+
+def test_winnow_mins_matches_pure_python_reference(spark):
+    rng = random.Random(7)
+    alphabet = "abcdef ()=+\n"
+    shared = "".join(rng.choice(alphabet) for _ in range(60))
+    texts = []
+    for i in range(40):
+        n = rng.randint(0, 120)
+        t = "".join(rng.choice(alphabet) for _ in range(n))
+        if i % 3 == 0:  # plant the shared fragment in a third of them
+            cut = rng.randint(0, len(t))
+            t = t[:cut] + shared + t[cut:]
+        texts.append(t)
+    # edge cases
+    texts += ["", "short", "x" * 8, "y" * 11]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["wm"])
+        for r in df.select(
+            "doc_id", docops.winnow_mins(F.col("text"), 8, 4).alias("wm")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _winnow_py(t, 8, 4), f"doc {i}"
+
+
+def test_downsample_composition_law():
+    """downsample(a -> c) == downsample(downsample(a -> b) -> c) for
+    b <= c — the FracMinHash closure property the reference relies on for
+    mixed-scaled compare (pure-python oracle check over random sets)."""
+    from sourmash_spark.oracle import MinHash
+
+    rng = random.Random(11)
+    hashes = [rng.randrange(2**64) for _ in range(5000)]
+    a = MinHash(ksize=12, scaled=2)
+    a.add_many(hashes)
+    for b, c in [(4, 16), (8, 8), (2, 64), (16, 256)]:
+        one = a.downsample(scaled=c)
+        two = a.downsample(scaled=b).downsample(scaled=c)
+        assert one.mins == two.mins, (b, c)
