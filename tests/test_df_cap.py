@@ -102,3 +102,31 @@ def test_postings_cap_drops_hot_keys(spark):
     vals = {r["hashval"] for r in p.collect()}
     assert 100 not in vals  # hot key dropped
     assert len(vals) == 40  # per-doc keys survive
+
+
+def test_cap_bounds_max_partition_rows(spark):
+    """The classic inverted-index failure mode: one boilerplate key routes
+    O(N^2) pair rows through a single shuffle partition.  Measure per-partition
+    row counts of the join's output: uncapped, the hot key's partition
+    carries ~N^2/2 rows; capped, every partition stays tiny."""
+    docs = _boiler_docs(spark, n=80)
+
+    def max_partition_rows(df):
+        rows = (
+            df.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .count()
+            .collect()
+        )
+        return max((r["count"] for r in rows), default=0)
+
+    uncapped = dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, hash_grams=False, df_cap=0
+    )
+    capped = dedup_ops.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, hash_grams=False, df_cap=10
+    )
+    hot = max_partition_rows(uncapped)
+    cool = max_partition_rows(capped)
+    assert hot >= 80 * 79 // 2 // 4  # the blowup really happens uncapped
+    assert cool <= 80  # and the cap bounds it to per-doc scale
