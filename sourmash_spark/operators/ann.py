@@ -51,31 +51,13 @@ def plane_matrix(n_planes: int, dim: int, plane_offset: int = 0) -> list[list[fl
     ]
 
 
-def _dot(vec_col: str, comps: list[float]) -> F.Column:
-    """Left-folded dot product of an array column with literal plane
-    components.  Loop-based aggregate/zip_with, NOT an unrolled term chain:
-    unrolling 64 terms x 48 planes overflows the JVM's 64KB codegen method
-    limit.  The fold order ((0+p0)+p1)+... is part of the cross-engine
-    contract — the SQL twin's list_reduce groups ((p0+p1)+p2), identical
-    because 0.0+x == x exactly in IEEE.  One F.lit per plane (an array
-    literal), not per component: 64 py4j round-trips per plane made plan
-    CONSTRUCTION dominate execution 5:1."""
-    lit_arr = F.lit(list(comps))
-    return F.aggregate(
-        F.zip_with(
-            F.col(vec_col), lit_arr, lambda x, c: x.cast("double") * c
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _dots_array(vec_col: str, planes: list[list[float]]) -> F.Column:
     """Array of dot products against EVERY plane in one nested-lambda pass
     over a 2-D literal matrix.  One expression node regardless of plane
     count — 48 separate aggregate trees made Catalyst optimization time
-    dominate execution on small inputs.  Fold order per plane is identical
-    to `_dot`."""
+    dominate execution on small inputs.  Fold order per plane:
+    ((0.0+p0)+p1)+... — matched by the SQL twin's list_reduce grouping
+    ((p0+p1)+p2), identical because 0.0+x == x exactly in IEEE."""
     # the plane matrix goes through ONE F.expr string parsed JVM-side:
     # F.lit on a nested python list boxes every double through py4j
     # (~2s of driver time for 48x64 at plan build)
@@ -128,7 +110,8 @@ def _bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
 
 
 def dot_sql(vec_expr: str, comps: list[float]) -> str:
-    """DuckDB rendering of `_dot`: list_reduce folds ((p0+p1)+p2)... —
+    """DuckDB rendering of one `_dots_array` element: list_reduce folds
+    ((p0+p1)+p2)... —
     identical to the Spark aggregate's ((0+p0)+p1)+... because 0.0+x == x
     exactly in IEEE — over the identical Python double literals, so dot
     values are bit-equal across engines."""
