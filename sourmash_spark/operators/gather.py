@@ -97,10 +97,17 @@ def _greedy_rounds(
                 "unique_intersect_bp": int(found.size) * scaled,
                 "f_orig_query": orig_inter / orig_len if orig_len else 0.0,
                 "f_match": f_match,
+                "f_match_orig": _contained(orig_inter, match.size, scaled),
                 "f_unique_to_query": found.size / orig_len if orig_len else 0.0,
                 "remaining_bp": int(remaining.size - found.size) * scaled,
+                "query_bp": orig_len * scaled,
+                "query_n_hashes": orig_len,
+                "ksize": ksize,
+                "scaled": scaled,
                 "query_containment_ani": q_ani,
                 "match_containment_ani": m_ani,
+                "average_containment_ani": (q_ani + m_ani) / 2.0,
+                "max_containment_ani": max(q_ani, m_ani),
             }
         )
         remaining = np.setdiff1d(remaining, match)
@@ -144,9 +151,13 @@ def multigather(
         .agg(F.count("*").alias("overlap"))
         .filter(F.col("overlap") >= min_hashes)
     )
+    name_col = (
+        db["name"] if "name" in db.columns else F.col(sig_id).cast("string")
+    )
     cands = cand_ids.join(
         db.select(
             sig_id, F.col("md5").alias("match_md5"),
+            name_col.alias("match_name"),
             F.col("hashes").alias("match_hashes"),
         ),
         sig_id,
@@ -161,16 +172,26 @@ def multigather(
         [
             T.StructField(query_id, T.LongType()),
             T.StructField(sig_id, T.LongType()),
+            T.StructField("name", T.StringType()),
             T.StructField("md5", T.StringType()),
             T.StructField("gather_result_rank", T.IntegerType()),
             T.StructField("intersect_bp", T.LongType()),
             T.StructField("unique_intersect_bp", T.LongType()),
             T.StructField("f_orig_query", T.DoubleType()),
             T.StructField("f_match", T.DoubleType()),
+            T.StructField("f_match_orig", T.DoubleType()),
             T.StructField("f_unique_to_query", T.DoubleType()),
+            T.StructField("f_unique_weighted", T.DoubleType()),
             T.StructField("remaining_bp", T.LongType()),
+            T.StructField("query_bp", T.LongType()),
+            T.StructField("query_n_hashes", T.IntegerType()),
+            T.StructField("ksize", T.IntegerType()),
+            T.StructField("scaled", T.LongType()),
+            T.StructField("query_abundance", T.BooleanType()),
             T.StructField("query_containment_ani", T.DoubleType()),
             T.StructField("match_containment_ani", T.DoubleType()),
+            T.StructField("average_containment_ani", T.DoubleType()),
+            T.StructField("max_containment_ani", T.DoubleType()),
         ]
     )
 
@@ -186,12 +207,20 @@ def multigather(
             for _, r in pdf.iterrows()
         }
         md5_of = {int(r[sig_id]): r["match_md5"] for _, r in pdf.iterrows()}
+        name_of = {
+            int(r[sig_id]): r["match_name"] for _, r in pdf.iterrows()
+        }
         rows = _greedy_rounds(
             np.unique(query), cmap, scaled, ksize, min_hashes, md5_of
         )
         for r in rows:
             r[query_id] = qid
             r[sig_id] = r.pop("sig_id")
+            r["name"] = name_of[int(r[sig_id])]
+            # no per-query abundances in the distributed form (flat
+            # sketches): weighted == unweighted, like gather()'s default
+            r["f_unique_weighted"] = r["f_unique_to_query"]
+            r["query_abundance"] = False
         return pd.DataFrame(
             rows, columns=[f.name for f in out_schema.fields]
         )
