@@ -76,24 +76,24 @@ def minhash_pairs60(
     docs from the join — the boilerplate guard against the O(df^2) pair
     blowup; sizes stay full-sketch, so capped jaccard lower-bounds true
     jaccard.  Lineage: compare.df_cap_stats."""
-    p = sketches.select(
-        F.col(id_col), F.col("n_hashes"), F.explode("hashes").alias("hashval")
+    from .compare import cap_postings
+
+    p = cap_postings(
+        sketches.select(
+            F.col(id_col), F.col("n_hashes"),
+            F.explode("hashes").alias("hashval"),
+        ),
+        ["hashval"], df_cap,
     )
-    if df_cap:
-        keep = (
-            p.groupBy("hashval")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("hashval")
-        )
-        p = p.join(keep, "hashval")
     a = p.select(
-        F.col(id_col).alias("id_a"), F.col("n_hashes").alias("size_a"), "hashval"
+        F.col(id_col).alias("id_a"), F.col("n_hashes").alias("size_a"),
+        "hashval",
     )
     b = p.select(
-        F.col(id_col).alias("id_b"), F.col("n_hashes").alias("size_b"), "hashval"
+        F.col(id_col).alias("id_b"), F.col("n_hashes").alias("size_b"),
+        "hashval",
     )
-    return (
+    pairs = (
         a.join(b, "hashval")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -102,7 +102,9 @@ def minhash_pairs60(
             F.first("size_a").alias("size_a"),
             F.first("size_b").alias("size_b"),
         )
-        .withColumn(
+    )
+    return (
+        pairs.withColumn(
             "jaccard",
             F.col("intersect_hashes")
             / (F.col("size_a") + F.col("size_b") - F.col("intersect_hashes")),
@@ -139,23 +141,19 @@ def ngram_jaccard_pairs(
     grams = docs.select(F.col(id_col), gram)
     if hash_grams:
         grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
+    from .compare import cap_postings
+
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    if df_cap:
-        keep = (
-            grams.groupBy("gram")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("gram")
-        )
-        grams = grams.join(keep, "gram")
-    g = grams.join(sizes, id_col)
+    g = cap_postings(grams, ["gram"], df_cap).join(sizes, id_col)
     a = g.select(
-        F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"), "gram"
+        F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"),
+        "gram",
     )
     b = g.select(
-        F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"), "gram"
+        F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"),
+        "gram",
     )
-    return (
+    pairs = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
@@ -164,7 +162,9 @@ def ngram_jaccard_pairs(
             F.first("size_a").alias("size_a"),
             F.first("size_b").alias("size_b"),
         )
-        .withColumn(
+    )
+    return (
+        pairs.withColumn(
             "jaccard",
             F.col("shared") / (F.col("size_a") + F.col("size_b") - F.col("shared")),
         )
@@ -378,15 +378,10 @@ def substring_dup_pairs(
     window = min_len - k + 1
     if window < 1:
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
+    from .compare import cap_postings
+
     _, fps = _winnow_fp_postings(docs, k, window, id_col, text_col)
-    if df_cap:
-        keep = (
-            fps.groupBy("fp")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= df_cap)
-            .select("fp")
-        )
-        fps = fps.join(keep, "fp")
+    fps = cap_postings(fps, ["fp"], df_cap)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

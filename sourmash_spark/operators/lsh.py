@@ -103,10 +103,12 @@ def candidate_pairs(
     """(sig_id_a, sig_id_b, n_shared_bands) with sig_id_a < sig_id_b.
 
     Self-join on (band_idx, band_key); buckets above `bucket_cap` are
-    dropped first (boilerplate guard)."""
+    removed first by a broadcast anti join against the (tiny, usually
+    empty) over-cap bucket set — compare.cap_postings."""
     if bucket_cap:
-        sizes = bucket_stats(bands).filter(F.col("bucket_size") <= bucket_cap)
-        bands = bands.join(sizes.select("band_idx", "band_key"), ["band_idx", "band_key"])
+        from .compare import cap_postings
+
+        bands = cap_postings(bands, ["band_idx", "band_key"], bucket_cap)
     a = bands.select(
         F.col(sig_id).alias("sig_id_a"), "band_idx", "band_key"
     )

@@ -130,3 +130,26 @@ def test_cap_bounds_max_partition_rows(spark):
     cool = max_partition_rows(capped)
     assert hot >= 80 * 79 // 2 // 4  # the blowup really happens uncapped
     assert cool <= 80  # and the cap bounds it to per-doc scale
+
+
+def test_cap_observation_lineage(spark):
+    """cap_postings wires an Observation that reports dropped-key volume
+    with the action, at no extra job cost (ADVICE r2: silent truncation
+    must be visible)."""
+    from pyspark.sql import Observation
+
+    from sourmash_spark.operators.compare import cap_postings
+
+    rows = [(i, [100, 1000 + i], 2) for i in range(40)]
+    sigs = spark.createDataFrame(
+        rows, "sig_id long, hashes array<long>, n_hashes int"
+    )
+    p = sigs.select("sig_id", F.explode("hashes").alias("hashval"))
+    obs = Observation("df_cap")
+    capped = cap_postings(p, ["hashval"], 10, observation=obs)
+    assert capped.count() == 40  # hot key 100 dropped, 40 per-doc keys stay
+    assert obs.get["dropped_keys"] == 1
+    assert obs.get["dropped_postings"] == 40
+
+    # no cap -> passthrough, no lineage required
+    assert cap_postings(p, ["hashval"], 0).count() == 80

@@ -1,0 +1,125 @@
+"""Micro-bench: candidate pair-plan strategies for compare_all_pairs.
+
+Strategies over the sf0.1 murmur signatures (mostly-unique hashvals):
+  join0      — plain inverted self-join, no cap (round-1 plan)
+  semi       — freq groupBy + inner semi-join cap (round-2 plan, regressed)
+  grouped    — groupBy(hashval).collect_list + double explode (cap free)
+  anti       — self-join + broadcast LEFT ANTI join against over-cap keys
+Run: python tools/bench_pairplans.py [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from sourmash_spark.session import get_spark  # noqa: E402
+
+CAP = 10_000
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        "bench_pairplans", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sigs = entrymod._murmur_sigs(spark, sf_dir).cache()
+    sigs.count()
+    sig_id = "sig_id"
+
+    def postings():
+        return sigs.select(
+            F.col(sig_id), F.col("n_hashes"), F.explode("hashes").alias("hashval")
+        )
+
+    def pair_agg(a, b):
+        return (
+            a.join(b, "hashval")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count("*").alias("inter"),
+                F.first("size_a").alias("size_a"),
+                F.first("size_b").alias("size_b"),
+            )
+        )
+
+    def sides(p):
+        a = p.select(
+            F.col(sig_id).alias("id_a"), F.col("n_hashes").alias("size_a"),
+            "hashval",
+        )
+        b = p.select(
+            F.col(sig_id).alias("id_b"), F.col("n_hashes").alias("size_b"),
+            "hashval",
+        )
+        return a, b
+
+    def join0():
+        a, b = sides(postings())
+        return pair_agg(a, b).count()
+
+    def semi():
+        p = postings()
+        keep = (
+            p.groupBy("hashval")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= CAP)
+            .select("hashval")
+        )
+        a, b = sides(p.join(keep, "hashval"))
+        return pair_agg(a, b).count()
+
+    def grouped():
+        from sourmash_spark.operators.compare import grouped_pair_counts
+
+        return grouped_pair_counts(
+            postings(), ["hashval"], sig_id, size_col="n_hashes", df_cap=CAP
+        ).count()
+
+    def anti():
+        p = postings()
+        hot = (
+            p.groupBy("hashval")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > CAP)
+            .select("hashval")
+        )
+        a, b = sides(p.join(F.broadcast(hot), "hashval", "left_anti"))
+        return pair_agg(a, b).count()
+
+    def windowed():
+        from pyspark.sql import Window
+
+        p = postings().withColumn(
+            "_df", F.count("*").over(Window.partitionBy("hashval"))
+        ).filter(F.col("_df") <= CAP).drop("_df")
+        a, b = sides(p)
+        return pair_agg(a, b).count()
+
+    plans = {
+        "join0": join0, "semi": semi, "grouped": grouped, "anti": anti,
+        "windowed": windowed,
+    }
+    results = {}
+    for _ in range(reps):  # interleaved reps: shared-host noise hits all
+        for name, fn in plans.items():
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            best_n, best_t = results.get(name, (n, float("inf")))
+            results[name] = (n, min(best_t, dt))
+    for name, (n, t) in results.items():
+        print(f"{name:10s} {n:8d} pairs  best {t:6.3f}s")
+
+
+if __name__ == "__main__":
+    main()
