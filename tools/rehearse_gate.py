@@ -69,6 +69,7 @@ def main(sf_dir: str = os.environ.get("REHEARSE_SF", "/root/testdata/sf0.01"), o
         )
     qs, os_ = e.queries(), e.oracle_sql()
     n_ok = n_bad = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,15 +78,18 @@ def main(sf_dir: str = os.environ.get("REHEARSE_SF", "/root/testdata/sf0.01"), o
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             print(f"{name:28s} SPARK-ERROR {str(ex).splitlines()[0][:120]}")
+            results[name] = {"status": "spark_error", "err": str(ex)[:300]}
             n_bad += 1
             continue
         if name not in os_:
             print(f"{name:28s} rows-only   {len(got):6d} rows  {time.time()-t0:5.1f}s")
+            results[name] = {"status": "rows_only", "rows": len(got)}
             continue
         try:
             want = con.sql(os_[name]).df()
         except Exception as ex:
             print(f"{name:28s} ORACLE-ERROR {str(ex).splitlines()[0][:120]}")
+            results[name] = {"status": "oracle_error", "err": str(ex)[:300]}
             n_bad += 1
             continue
         verdict = compare(got, want)
@@ -94,8 +98,30 @@ def main(sf_dir: str = os.environ.get("REHEARSE_SF", "/root/testdata/sf0.01"), o
             n_ok += 1
         else:
             n_bad += 1
+        results[name] = {
+            "status": "exact" if verdict == "OK" else "mismatch",
+            "rows": len(got),
+            "oracle_rows": len(want),
+            "detail": None if verdict == "OK" else verdict,
+        }
         print(f"{name:28s} {flag} {len(got):6d} rows  {time.time()-t0:5.1f}s  {verdict if verdict != 'OK' else ''}")
     print(f"\n{n_ok} ok, {n_bad} bad")
+    # full-run evidence artifact: the driver's CORRECTNESS file caps at the
+    # first 50 registered gates; this records ALL of them
+    if not only:
+        import json
+
+        out = {
+            "sf_dir": sf_dir,
+            "exact_mode": bool(os.environ.get("REHEARSE_EXACT")),
+            "n_gates": len(results),
+            "n_ok": n_ok,
+            "n_bad": n_bad,
+            "gates": results,
+        }
+        with open("/root/repo/CORRECTNESS_FULL_LOCAL.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print("wrote CORRECTNESS_FULL_LOCAL.json")
     spark.stop()
     return n_bad
 
