@@ -125,7 +125,17 @@ def compare_all_pairs(
     mode: jaccard | containment (a in b) | max_containment | avg_containment
     """
     # passing `scaled` asserts a uniform resolution and skips the metadata
-    # job below (a driver round-trip at plan-build time)
+    # job below (a driver round-trip at plan-build time); the assertion is
+    # enforced cheaply at execution — a mixed-resolution collection under a
+    # caller-passed scaled would silently produce wrong similarities
+    if scaled is not None and "scaled" in sigs.columns:
+        from ..session import assert_column_constant
+
+        sigs = assert_column_constant(
+            sigs, "scaled", int(scaled),
+            msg="compare_all_pairs(scaled=...) over a mixed-scaled "
+            "collection: downsample first or omit `scaled`",
+        )
     if scaled is None and "scaled" in sigs.columns:
         scaled_vals = [
             r["scaled"] for r in sigs.select("scaled").distinct().collect()

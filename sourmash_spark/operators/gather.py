@@ -67,9 +67,29 @@ def _greedy_rounds(
     ksize: int,
     min_hashes: int,
     md5_of: dict,
-) -> list[dict]:
+    abund_map: dict | None = None,
+    estimate_ani_ci: bool = False,
+) -> tuple[list[dict], np.ndarray]:
     """Shared greedy min-set-cov core over numpy hash sets (CounterGather
-    peek/consume semantics); returns row dicts in rank order."""
+    peek/consume semantics); returns (row dicts in rank order, remaining
+    query hashes after the loop — the `--output-unassigned` set,
+    commands.py:1094-1112).
+
+    ANI semantics follow GatherResult exactly (search.py:419-434 +
+    GatherDatabases.__next__ passing `self.orig_query`, search.py:929):
+    both point estimates and CI columns derive from the ORIGINAL-query vs
+    match comparison (`self.cmp`), not the remaining query.
+
+    `abund_map` (hash -> count), when given, produces the reference's
+    abundance columns (f_unique_weighted over total weighted hashes,
+    average/median/std of the unique-intersection abundances,
+    search.py:600-622); when None the flat fallbacks apply
+    (f_unique_weighted == f_unique_to_query, null abund stats).
+    """
+    track_abund = abund_map is not None
+    total_weighted = (
+        sum(abund_map.values()) if track_abund else int(query.size)
+    )
     remaining = query.copy()
     results = []
     rank = 0
@@ -86,8 +106,25 @@ def _greedy_rounds(
         found = np.intersect1d(remaining, match)
         orig_inter = int(np.intersect1d(query, match).size)
         f_match = _contained(found.size, match.size, scaled)
-        q_ani = _ani(_contained(found.size, remaining.size, scaled), ksize)
-        m_ani = _ani(f_match, ksize)
+        f_match_orig = _contained(orig_inter, match.size, scaled)
+        f_unique_to_query = found.size / orig_len if orig_len else 0.0
+        # original-query vs match, like self.cmp (GatherResult parity)
+        q_c = _contained(orig_inter, orig_len, scaled)
+        q_ani = _ani(q_c, ksize)
+        m_ani = _ani(f_match_orig, ksize)
+        if track_abund:
+            abunds = np.array(
+                [abund_map[h] for h in found.tolist()], dtype=np.int64
+            )
+            f_unique_weighted = (
+                float(abunds.sum()) / total_weighted if total_weighted else 0.0
+            )
+            average_abund = float(abunds.mean()) if abunds.size else None
+            median_abund = float(np.median(abunds)) if abunds.size else None
+            std_abund = float(abunds.std()) if abunds.size else None
+        else:
+            f_unique_weighted = f_unique_to_query
+            average_abund = median_abund = std_abund = None
         results.append(
             {
                 "sig_id": best_id,
@@ -97,8 +134,13 @@ def _greedy_rounds(
                 "unique_intersect_bp": int(found.size) * scaled,
                 "f_orig_query": orig_inter / orig_len if orig_len else 0.0,
                 "f_match": f_match,
-                "f_match_orig": _contained(orig_inter, match.size, scaled),
-                "f_unique_to_query": found.size / orig_len if orig_len else 0.0,
+                "f_match_orig": f_match_orig,
+                "f_unique_to_query": f_unique_to_query,
+                "f_unique_weighted": f_unique_weighted,
+                "average_abund": average_abund,
+                "median_abund": median_abund,
+                "std_abund": std_abund,
+                "query_abundance": track_abund,
                 "remaining_bp": int(remaining.size - found.size) * scaled,
                 "query_bp": orig_len * scaled,
                 "query_n_hashes": orig_len,
@@ -110,9 +152,28 @@ def _greedy_rounds(
                 "max_containment_ani": max(q_ani, m_ani),
             }
         )
+        if estimate_ani_ci:
+            from ..distances import containment_to_distance
+
+            q_res = containment_to_distance(
+                q_c, ksize, scaled, float(orig_len) * scaled,
+                estimate_ci=True,
+            )
+            m_res = containment_to_distance(
+                f_match_orig, ksize, scaled, float(match.size) * scaled,
+                estimate_ci=True,
+            )
+            results[-1].update(
+                {
+                    "query_containment_ani_low": q_res.ani_low,
+                    "query_containment_ani_high": q_res.ani_high,
+                    "match_containment_ani_low": m_res.ani_low,
+                    "match_containment_ani_high": m_res.ani_high,
+                }
+            )
         remaining = np.setdiff1d(remaining, match)
         rank += 1
-    return results
+    return results, remaining
 
 
 def multigather(
@@ -134,10 +195,16 @@ def multigather(
     applyInPandas runs the greedy rounds per query *in parallel across
     queries* — each group holds only that query's candidates (the same
     state the reference keeps on its driver, sharded by query).
+
+    If `queries` carries an `abunds` column (aligned with `hashes`), the
+    abundance-weighted GatherResult columns are computed per query exactly
+    like single-query `gather(query_abunds=...)` (commands.py:1124-1386
+    multigather carries abundances); otherwise the flat fallbacks apply.
     """
     import pyspark.sql.types as T
 
     min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
+    track_abund = "abunds" in queries.columns
 
     qp = F.broadcast(
         queries.select(
@@ -154,6 +221,9 @@ def multigather(
     name_col = (
         db["name"] if "name" in db.columns else F.col(sig_id).cast("string")
     )
+    qcols = [query_id, F.col("hashes").alias("query_hashes")]
+    if track_abund:
+        qcols.append(F.col("abunds").alias("query_abunds"))
     cands = cand_ids.join(
         db.select(
             sig_id, F.col("md5").alias("match_md5"),
@@ -161,12 +231,7 @@ def multigather(
             F.col("hashes").alias("match_hashes"),
         ),
         sig_id,
-    ).join(
-        F.broadcast(
-            queries.select(query_id, F.col("hashes").alias("query_hashes"))
-        ),
-        query_id,
-    )
+    ).join(F.broadcast(queries.select(*qcols)), query_id)
 
     out_schema = T.StructType(
         [
@@ -182,6 +247,9 @@ def multigather(
             T.StructField("f_match_orig", T.DoubleType()),
             T.StructField("f_unique_to_query", T.DoubleType()),
             T.StructField("f_unique_weighted", T.DoubleType()),
+            T.StructField("average_abund", T.DoubleType()),
+            T.StructField("median_abund", T.DoubleType()),
+            T.StructField("std_abund", T.DoubleType()),
             T.StructField("remaining_bp", T.LongType()),
             T.StructField("query_bp", T.LongType()),
             T.StructField("query_n_hashes", T.IntegerType()),
@@ -197,35 +265,137 @@ def multigather(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf[query_id].iloc[0]
-        query = i64_to_u64(
-            np.asarray(pdf["query_hashes"].iloc[0], dtype=np.int64)
-        )
+        qh = np.asarray(pdf["query_hashes"].iloc[0], dtype=np.int64)
+        query = i64_to_u64(qh)
+        if track_abund:
+            qa = [int(a) for a in pdf["query_abunds"].iloc[0]]
+            abund_map = dict(zip(query.tolist(), qa))
+        else:
+            abund_map = None
         cmap = {
-            int(r[sig_id]): i64_to_u64(
-                np.asarray(r["match_hashes"], dtype=np.int64)
-            )
-            for _, r in pdf.iterrows()
+            int(s): i64_to_u64(np.asarray(h, dtype=np.int64))
+            for s, h in zip(pdf[sig_id], pdf["match_hashes"])
         }
-        md5_of = {int(r[sig_id]): r["match_md5"] for _, r in pdf.iterrows()}
-        name_of = {
-            int(r[sig_id]): r["match_name"] for _, r in pdf.iterrows()
-        }
-        rows = _greedy_rounds(
-            np.unique(query), cmap, scaled, ksize, min_hashes, md5_of
+        md5_of = dict(zip((int(s) for s in pdf[sig_id]), pdf["match_md5"]))
+        name_of = dict(zip((int(s) for s in pdf[sig_id]), pdf["match_name"]))
+        rows, _ = _greedy_rounds(
+            np.unique(query), cmap, scaled, ksize, min_hashes, md5_of,
+            abund_map=abund_map,
         )
         for r in rows:
             r[query_id] = qid
             r[sig_id] = r.pop("sig_id")
             r["name"] = name_of[int(r[sig_id])]
-            # no per-query abundances in the distributed form (flat
-            # sketches): weighted == unweighted, like gather()'s default
-            r["f_unique_weighted"] = r["f_unique_to_query"]
-            r["query_abundance"] = False
         return pd.DataFrame(
             rows, columns=[f.name for f in out_schema.fields]
         )
 
     return cands.groupBy(query_id).applyInPandas(run, out_schema)
+
+
+def _gather_rows(
+    db: DataFrame,
+    query_hashes: list[int],
+    scaled: int,
+    ksize: int,
+    threshold_bp: int,
+    query_abunds: list[int] | None,
+    query_md5: str,
+    sig_id: str,
+    estimate_ani_ci: bool,
+) -> tuple[list[dict], np.ndarray]:
+    """Candidate sweep + greedy rounds; returns (GatherResult row dicts,
+    remaining query hashes in u64).  Candidate hash arrays are fetched with
+    a broadcast left-semi join on the prefetch survivors (never a literal
+    IN-list — thousands of candidates would bloat the plan)."""
+    min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
+
+    cands_df = prefetch(
+        db, query_hashes, scaled, ksize=ksize, threshold_bp=threshold_bp,
+        query_md5=query_md5, sig_id=sig_id,
+    ).select(sig_id, "match_name", "match_md5")
+    cand_meta = cands_df.collect()
+    if cand_meta:
+        ids_df = cands_df.sparkSession.createDataFrame(
+            [(r[sig_id],) for r in cand_meta], f"{sig_id} long"
+        )
+        rows = (
+            db.join(F.broadcast(ids_df), sig_id, "left_semi")
+            .select(sig_id, "hashes")
+            .collect()
+        )
+        cand_hashes = {
+            r[sig_id]: i64_to_u64(np.array(r["hashes"], dtype=np.int64))
+            for r in rows
+        }
+    else:
+        cand_hashes = {}
+    meta = {r[sig_id]: (r["match_name"], r["match_md5"]) for r in cand_meta}
+    md5_of = {k: v[1] for k, v in meta.items()}
+
+    orig = np.unique(
+        i64_to_u64(np.array(sorted(query_hashes), dtype=np.int64))
+    )
+    if query_abunds is not None:
+        abund_map = dict(
+            zip(
+                i64_to_u64(
+                    np.array(query_hashes, dtype=np.int64)
+                ).tolist(),
+                [int(a) for a in query_abunds],
+            )
+        )
+    else:
+        abund_map = None
+
+    results, remaining = _greedy_rounds(
+        orig, cand_hashes, scaled, ksize, min_hashes, md5_of,
+        abund_map=abund_map, estimate_ani_ci=estimate_ani_ci,
+    )
+    for r in results:
+        r["name"] = meta[r["sig_id"]][0]
+        r["query_md5"] = query_md5
+    return results, remaining
+
+
+def gather_unassigned(
+    spark: SparkSession,
+    db: DataFrame,
+    query_hashes: list[int],
+    scaled: int,
+    ksize: int = 21,
+    threshold_bp: int = 0,
+    query_abunds: list[int] | None = None,
+    query_md5: str = "",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """The `--output-unassigned` surface (commands.py:1094-1112): the query
+    hashes left after the greedy loop, one row per hash with its abundance
+    (re-inflated from the original query like `minhash.inflate`, matching
+    the reference's `is_abundance` branch; abund=1 for flat queries)."""
+    _, remaining = _gather_rows(
+        db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
+        query_md5, sig_id, estimate_ani_ci=False,
+    )
+    if query_abunds is not None:
+        amap = dict(
+            zip(
+                i64_to_u64(np.array(query_hashes, dtype=np.int64)).tolist(),
+                [int(a) for a in query_abunds],
+            )
+        )
+    else:
+        amap = {}
+    from ..hashing import u64_to_i64
+
+    rows = [
+        (int(s), int(amap.get(int(u), 1)))
+        for s, u in zip(u64_to_i64(remaining).tolist(), remaining.tolist())
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["hashval", "abund"]),
+        schema="hashval long, abund long",
+    )
 
 
 def gather(
@@ -241,122 +411,15 @@ def gather(
     estimate_ani_ci: bool = False,
 ) -> DataFrame:
     """Greedy decomposition; returns GatherResult-shaped rows in rank order
-    (column parity with search.py:482-524; `estimate_ani_ci` appends the
-    reference's ci_cols — query/match_containment_ani_low/high,
-    search.py:393-398 — computed like GatherResult.handle_ani_ci from the
-    remaining-query and match containments)."""
-    min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
-
-    cands_df = prefetch(
-        db, query_hashes, scaled, ksize=ksize, threshold_bp=threshold_bp,
-        query_md5=query_md5, sig_id=sig_id,
-    ).select(sig_id, "match_name", "match_md5")
-    cand_meta = cands_df.collect()
-    cand_ids = [r[sig_id] for r in cand_meta]
-    if cand_ids:
-        rows = (
-            db.filter(db[sig_id].isin(cand_ids))
-            .select(sig_id, "hashes")
-            .collect()
-        )
-        cand_hashes = {
-            r[sig_id]: i64_to_u64(np.array(r["hashes"], dtype=np.int64))
-            for r in rows
-        }
-    else:
-        cand_hashes = {}
-    meta = {r[sig_id]: (r["match_name"], r["match_md5"]) for r in cand_meta}
-
-    orig = i64_to_u64(np.array(sorted(query_hashes), dtype=np.int64))
-    orig = np.unique(orig)
-    orig_len = int(orig.size)
-    if query_abunds is not None:
-        abund_map = dict(zip(orig.tolist(), [int(a) for a in query_abunds]))
-        total_weighted = sum(abund_map.values())
-        track_abund = True
-    else:
-        abund_map = {h: 1 for h in orig.tolist()}
-        total_weighted = orig_len
-        track_abund = False
-
-    remaining = orig.copy()
-    results = []
-    rank = 0
-    while cand_hashes and remaining.size:
-        # peek: argmax overlap vs *remaining* query (CounterGather.peek)
-        best_id, best_overlap = None, -1
-        for cid in sorted(cand_hashes, key=lambda c: meta[c][1]):
-            ov = int(np.intersect1d(cand_hashes[cid], remaining).size)
-            if ov > best_overlap:
-                best_id, best_overlap = cid, ov
-        if best_overlap < min_hashes or best_overlap <= 0:
-            break
-        match = cand_hashes.pop(best_id)
-        found = np.intersect1d(remaining, match)  # unique-to-this-round
-        orig_inter = int(np.intersect1d(orig, match).size)
-
-        abunds = np.array([abund_map[h] for h in found.tolist()], dtype=np.int64)
-        f_match = _contained(found.size, match.size, scaled)
-        f_match_orig = _contained(orig_inter, match.size, scaled)
-        f_orig_query = orig_inter / orig_len if orig_len else 0.0
-        f_unique_to_query = found.size / orig_len if orig_len else 0.0
-        q_ani = _ani(_contained(found.size, remaining.size, scaled), ksize)
-        m_ani = _ani(f_match, ksize)
-        results.append(
-            {
-                "intersect_bp": orig_inter * scaled,
-                "f_orig_query": f_orig_query,
-                "f_match": f_match,
-                "f_unique_to_query": f_unique_to_query,
-                "f_unique_weighted": (
-                    float(abunds.sum()) / total_weighted
-                    if track_abund
-                    else f_unique_to_query
-                ),
-                "average_abund": float(abunds.mean()) if track_abund else None,
-                "median_abund": float(np.median(abunds)) if track_abund else None,
-                "std_abund": float(abunds.std()) if track_abund else None,
-                "name": meta[best_id][0],
-                "md5": meta[best_id][1],
-                "f_match_orig": f_match_orig,
-                "unique_intersect_bp": int(found.size) * scaled,
-                "gather_result_rank": rank,
-                "remaining_bp": int(remaining.size - found.size) * scaled,
-                "query_md5": query_md5,
-                "query_bp": orig_len * scaled,
-                "ksize": ksize,
-                "scaled": scaled,
-                "query_n_hashes": orig_len,
-                "query_abundance": track_abund,
-                "query_containment_ani": q_ani,
-                "match_containment_ani": m_ani,
-                "average_containment_ani": (q_ani + m_ani) / 2.0,
-                "max_containment_ani": max(q_ani, m_ani),
-            }
-        )
-        if estimate_ani_ci:
-            from ..distances import containment_to_distance
-
-            q_res = containment_to_distance(
-                _contained(found.size, remaining.size, scaled),
-                ksize, scaled, float(remaining.size) * scaled,
-                estimate_ci=True,
-            )
-            m_res = containment_to_distance(
-                f_match, ksize, scaled, float(match.size) * scaled,
-                estimate_ci=True,
-            )
-            results[-1].update(
-                {
-                    "query_containment_ani_low": q_res.ani_low,
-                    "query_containment_ani_high": q_res.ani_high,
-                    "match_containment_ani_low": m_res.ani_low,
-                    "match_containment_ani_high": m_res.ani_high,
-                }
-            )
-        remaining = np.setdiff1d(remaining, match)  # consume
-        rank += 1
-
+    (column parity with search.py:482-524).  `estimate_ani_ci` appends the
+    reference's ci_cols — query/match_containment_ani_low/high — computed
+    like GatherResult.handle_ani_ci from the ORIGINAL-query vs match
+    comparison (search.py:419-434; `self.cmp` is built from
+    `self.orig_query`, search.py:929)."""
+    results, _remaining = _gather_rows(
+        db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
+        query_md5, sig_id, estimate_ani_ci,
+    )
     cols = list(GATHER_COLS)
     schema = (
         "intersect_bp long, f_orig_query double, f_match double, "

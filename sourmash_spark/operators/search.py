@@ -104,8 +104,14 @@ def search(
     if want_ci:
         from ..distances import with_containment_ani_ci
 
+        if not scaled:
+            # CI needs n_unique_kmers = n_hashes * scaled; defaulting the
+            # missing scaled to 1 would produce silently-wrong intervals
+            raise ValueError(
+                "estimate_ani_ci in containment modes requires `scaled`"
+            )
         out = with_containment_ani_ci(
-            out, "similarity", "_n", ksize, scaled or 1, prefix="_ci_"
+            out, "similarity", "_n", ksize, scaled, prefix="_ci_"
         )
         out = (
             out.withColumnRenamed("_ci_ani_low", "ani_low")

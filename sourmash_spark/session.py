@@ -69,3 +69,16 @@ def add_pyfiles(spark: SparkSession) -> str:
                                   os.path.basename(pkg_dir))
     spark.sparkContext.addPyFile(archive)
     return archive
+
+
+def assert_column_constant(df, col: str, value, msg: str):
+    """Execution-time assertion that `col` equals `value` on every row —
+    zero extra jobs: a per-row `assert_true` folded into a pass-all filter
+    (assert_true yields NULL when the predicate holds and raises when it
+    doesn't; a dropped unused column would be pruned away, a filter is not).
+    """
+    import pyspark.sql.functions as F
+
+    return df.filter(
+        F.assert_true(F.col(col) == F.lit(value), F.lit(msg)).isNull()
+    )

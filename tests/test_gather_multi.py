@@ -121,3 +121,71 @@ def test_categorize_best_match(spark, sigs, oracle_sketches):
         else:
             assert qid in res, qid
             assert res[qid][1] == pytest.approx(best[1], abs=1e-12)
+
+
+def test_multigather_weighted_matches_single_gather(spark, sigs, oracle_sketches):
+    """With an `abunds` column on the queries table, multigather's weighted
+    GatherResult columns equal single-query gather(query_abunds=...)."""
+    comps = {100: [0, 30], 101: [10, 45]}
+    qrows = []
+    for qid, members in comps.items():
+        mh = oracle_sketches[members[0]].copy()
+        for m in members[1:]:
+            mh.merge(oracle_sketches[m])
+        hashes = u64_to_i64(np.array(mh.mins, dtype=np.uint64)).tolist()
+        abunds = [1 + (h % 7) for h in hashes]
+        qrows.append((qid, hashes, abunds))
+    queries = spark.createDataFrame(
+        qrows, "query_id long, hashes array<long>, abunds array<long>"
+    )
+    min_bp = PARAMS.scaled * 3
+    multi = multigather(
+        queries, sigs, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+        threshold_bp=min_bp,
+    ).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(comps)
+    for qid, hashes, abunds in qrows:
+        single = gather(
+            spark, sigs, hashes, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+            threshold_bp=min_bp, query_abunds=abunds,
+        ).collect()
+        got = sorted(by_q[qid], key=lambda r: r["gather_result_rank"])
+        assert [r["md5"] for r in got] == [r["md5"] for r in single]
+        for col in (
+            "f_unique_weighted", "average_abund", "median_abund",
+            "std_abund", "query_containment_ani", "match_containment_ani",
+        ):
+            assert [r[col] for r in got] == pytest.approx(
+                [r[col] for r in single]
+            ), col
+        assert all(r["query_abundance"] for r in got)
+
+
+def test_gather_unassigned_remainder(spark, sigs, oracle_sketches):
+    """gather_unassigned returns exactly the query hashes no greedy round
+    consumed, with original-query abundances (commands.py:1094-1112)."""
+    from sourmash_spark.operators.gather import gather_unassigned
+
+    mh = oracle_sketches[0].copy()
+    mh.merge(oracle_sketches[30])
+    hashes = u64_to_i64(np.array(mh.mins, dtype=np.uint64)).tolist()
+    abunds = [1 + (h % 7) for h in hashes]
+    min_bp = PARAMS.scaled * 3
+    res = gather(
+        spark, sigs, hashes, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+        threshold_bp=min_bp,
+    ).collect()
+    un = gather_unassigned(
+        spark, sigs, hashes, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+        threshold_bp=min_bp, query_abunds=abunds,
+    ).collect()
+    # remainder + assigned == original query size
+    assigned = sum(r["unique_intersect_bp"] // PARAMS.scaled for r in res)
+    assert assigned + len(un) == len(set(hashes))
+    # abundances re-inflated from the original query
+    amap = dict(zip(hashes, abunds))
+    for r in un:
+        assert r["abund"] == amap[r["hashval"]]
