@@ -275,6 +275,59 @@ def murmur64_windows(
 
 
 # ---------------------------------------------------------------------------
+# DNA canonical k-mers
+# ---------------------------------------------------------------------------
+
+# complement lookup (encodings.rs:85-101 COMPLEMENT): A<->T, C<->G, N->N,
+# everything else -> 0 (never equals a valid base, so an invalid byte can
+# never win a canonical comparison into a valid-looking kmer — invalid
+# windows are dropped by DNA_VALID anyway)
+DNA_COMPLEMENT = np.zeros(256, dtype=np.uint8)
+for _a, _b in ((b"A", b"T"), (b"C", b"G"), (b"G", b"C"), (b"T", b"A"), (b"N", b"N")):
+    DNA_COMPLEMENT[_a[0]] = _b[0]
+
+# VALID table (encodings.rs:370-377): strictly A/C/G/T
+DNA_VALID = np.zeros(256, dtype=bool)
+for _c in b"ACGT":
+    DNA_VALID[_c] = True
+
+
+def canonical_dna_windows(
+    arr: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-windows of a uint8 buffer in CANONICAL form: per window the
+    lexicographic min of the forward kmer and its reverse complement —
+    exactly the reference's DNA hashing input
+    (signature.rs:268-306: `_hash_murmur(min(kmer, krc), seed)`).
+
+    The reverse complement of window arr[i:i+k] equals
+    complement(arr)[i:i+k][::-1], so both candidates come from two sliding
+    views over the batch buffer — no per-kmer work.  Returns
+    (canonical_windows uint8[n,k], valid bool[n]) where valid marks windows
+    made only of A/C/G/T (invalid ones are skipped, the reference's
+    force=True behavior, signature.rs:274-285)."""
+    if arr.size < k:
+        return (
+            np.empty((0, k), dtype=np.uint8),
+            np.empty(0, dtype=bool),
+        )
+    wf = np.lib.stride_tricks.sliding_window_view(arr, k)
+    wr = np.lib.stride_tricks.sliding_window_view(
+        DNA_COMPLEMENT[arr], k
+    )[:, ::-1]
+    diff = wf != wr
+    first = diff.argmax(axis=1)  # 0 when palindromic (either side fine)
+    rows = np.arange(wf.shape[0])
+    use_fwd = wf[rows, first] <= wr[rows, first]
+    canonical = np.where(use_fwd[:, None], wf, wr)
+
+    bad = (~DNA_VALID[arr]).astype(np.int64)
+    c = np.concatenate([[0], np.cumsum(bad)])
+    valid = (c[k:] - c[:-k]) == 0
+    return canonical, valid
+
+
+# ---------------------------------------------------------------------------
 # FracMinHash hash-space helpers
 # ---------------------------------------------------------------------------
 

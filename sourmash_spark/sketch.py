@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
-from .hashing import murmur64_fixed
+from .hashing import canonical_dna_windows, murmur64_fixed
 from .params import SketchParams
 
 SKETCH_FIELDS = [
@@ -80,9 +80,18 @@ def batch_sketch(
     # hash EVERY window of the concatenated buffer (boundary-crossing ones
     # included — ~k extra per doc, <2% waste), then drop the crossers by
     # mask: masking 8-byte hashes beats gathering 21-byte windows.
-    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-    all_hashes = murmur64_fixed(windows, params.seed)
-    valid = np.ones(windows.shape[0], dtype=bool)
+    if params.moltype.lower() == "dna":
+        # canonical branch: hash min(kmer, revcomp) per window and skip
+        # windows with non-ACGT bases (signature.rs:268-306 / force=True).
+        # Boundary-crossing windows are canonicalized too but masked below
+        # exactly like the code path.
+        windows, dna_valid = canonical_dna_windows(arr, k)
+        all_hashes = murmur64_fixed(windows, params.seed)
+        valid = dna_valid.copy()
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+        all_hashes = murmur64_fixed(windows, params.seed)
+        valid = np.ones(windows.shape[0], dtype=bool)
     ends = np.cumsum(lens)
     for i in range(len(lens) - 1):  # windows starting in the k-1 tail bytes
         lo = max(int(ends[i]) - (k - 1), int(starts[i]))
