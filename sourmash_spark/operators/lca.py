@@ -1,0 +1,270 @@
+"""LCA commands — hash-level lowest-common-ancestor classification
+(reference: lca/command_classify.py:18-77, lca/command_summarize.py:20-58,
+lca_utils.py:137-225; behavior only, re-expressed as DataFrame aggregations).
+
+Semantics reproduced:
+
+* per hashval, gather the distinct lineages of every db sketch containing
+  it and reduce them to their LCA — the longest prefix of ranks on which
+  all lineages agree (`build_tree` + `find_lca`);
+* `classify`: count hashvals per LCA lineage, keep lineages with count >=
+  threshold, then reduce the survivors to a final LCA again; status is
+  `found` (leaf), `disagree` (branching), or `nomatch` (empty tree) —
+  classify_signature's two-stage design;
+* `summarize`: hashval-LCA counts (optionally abundance-weighted), filter
+  by threshold, then roll every count up the ancestor chain
+  (command_summarize.py:43-54);
+* `rankinfo`: how many hashvals resolve at each rank across the db.
+
+Spark shape: postings equi-join on hashval (the same inverted-index plan as
+compare/prefetch), lineages broadcast (a taxonomy is always the small dim),
+and the per-hashval LCA walk as a fixed chain of conditional aggregates —
+one `countDistinct(lineage[r])` per rank — so the whole thing is two
+shuffles (hashval group, lineage count group) regardless of corpus size.
+
+Lineages are complete rank arrays (every rank named); the reference's
+blank-padded lineages are normalized by `lineage_array` dropping trailing
+empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+DEFAULT_RANKS = [
+    "superkingdom", "phylum", "class", "order", "family", "genus",
+    "species", "strain",
+]
+
+
+def lineage_array(
+    lineages: DataFrame,
+    ranks: list[str],
+    id_col: str = "sig_id",
+) -> DataFrame:
+    """(id, rank columns...) -> (id, lineage array<string>), trailing empty
+    ranks trimmed (reference lineages may stop at any rank)."""
+    arr = F.array(*[F.coalesce(F.col(r), F.lit("")) for r in ranks])
+    # trim trailing '' entries: keep up to the last non-empty position
+    last = F.aggregate(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(1), F.lit(len(ranks))),
+            lambda v, i: F.when(v != "", i).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return lineages.select(
+        F.col(id_col), F.slice(arr, 1, last).alias("lineage")
+    )
+
+
+def _lca_prefix_len(n_ranks: int) -> Column:
+    """Depth of the per-group LCA: the first rank where either more than
+    one distinct name appears (branching) or no lineage extends (leaf),
+    evaluated over the conditional aggregates `_nd{r}` / `_e{r}`."""
+    expr = F.lit(n_ranks)
+    for r in reversed(range(n_ranks)):
+        expr = (
+            F.when(F.col(f"_e{r}") == 0, F.lit(r))
+            .when(F.col(f"_nd{r}") > 1, F.lit(r))
+            .otherwise(expr)
+        )
+    return expr
+
+
+def _walk_aggs(n_ranks: int, lin_col: str = "lineage") -> list[Column]:
+    aggs = []
+    for r in range(n_ranks):
+        ext = F.size(lin_col) > r
+        aggs.append(
+            F.countDistinct(
+                F.when(ext, F.col(lin_col)[r])
+            ).alias(f"_nd{r}")
+        )
+        aggs.append(
+            F.max(F.when(ext, F.lit(1)).otherwise(F.lit(0))).alias(f"_e{r}")
+        )
+    aggs.append(
+        F.max_by(F.col(lin_col), F.size(lin_col)).alias("_longest")
+    )
+    return aggs
+
+
+def hashval_lca(
+    db: DataFrame,
+    lineages: DataFrame,
+    n_ranks: int,
+    sig_id: str = "sig_id",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-hashval LCA over the db postings: (keys..., hashval, lca
+    array<string>).  `lineages` must be (sig_id, lineage array) — see
+    lineage_array.  One exchange on (keys, hashval)."""
+    keys = keys or []
+    postings = db.select(
+        *keys, F.col(sig_id), F.explode("hashes").alias("hashval")
+    )
+    assign = (
+        postings.join(F.broadcast(lineages), sig_id)
+        .select(*keys, "hashval", "lineage")
+        .distinct()
+    )
+    agg = assign.groupBy(*keys, "hashval").agg(*_walk_aggs(n_ranks))
+    return agg.select(
+        *keys,
+        "hashval",
+        F.slice("_longest", 1, _lca_prefix_len(n_ranks)).alias("lca"),
+    )
+
+
+def _query_assignments(
+    queries: DataFrame,
+    db: DataFrame,
+    lineages: DataFrame,
+    n_ranks: int,
+    query_id: str,
+    sig_id: str,
+) -> DataFrame:
+    """(query_id, hashval, lca) for every query hash found in the db —
+    query postings broadcast (small side), db postings never shuffle for
+    the join; the LCA aggregation is the only exchange."""
+    qp = F.broadcast(
+        queries.select(F.col(query_id), F.explode("hashes").alias("hashval"))
+    )
+    dp = db.select(F.col(sig_id), F.explode("hashes").alias("hashval"))
+    assign = (
+        dp.join(qp, "hashval")
+        .join(F.broadcast(lineages), sig_id)
+        .select(query_id, "hashval", "lineage")
+        .distinct()
+    )
+    agg = assign.groupBy(query_id, "hashval").agg(*_walk_aggs(n_ranks))
+    return agg.select(
+        query_id,
+        "hashval",
+        F.slice("_longest", 1, _lca_prefix_len(n_ranks)).alias("lca"),
+    )
+
+
+def classify(
+    queries: DataFrame,
+    db: DataFrame,
+    lineages: DataFrame,
+    n_ranks: int,
+    threshold: int = 5,
+    query_id: str = "query_id",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """`lca classify` (command_classify.py:18-77): returns one row per
+    query — (query_id, status, lineage ';'-joined, depth).
+
+    Stage 1: per-hashval LCA; stage 2: count hashvals per LCA lineage,
+    keep counts >= threshold; stage 3: LCA of the survivors, with status
+    found / disagree / nomatch."""
+    hl = _query_assignments(
+        queries, db, lineages, n_ranks, query_id, sig_id
+    )
+    counts = hl.groupBy(query_id, "lca").agg(F.count("*").alias("n"))
+    survivors = counts.filter(F.col("n") >= threshold)
+    fin = survivors.groupBy(query_id).agg(*_walk_aggs(n_ranks, "lca"))
+    depth = _lca_prefix_len(n_ranks)
+    # the walk stopped at `depth`: leaf (no survivor extends) -> found,
+    # branching -> disagree; no survivor extends past the root -> nomatch
+    status_expr = F.lit("found")
+    for r in reversed(range(n_ranks)):
+        status_expr = (
+            F.when(F.col(f"_e{r}") == 0, F.lit("found"))
+            .when(F.col(f"_nd{r}") > 1, F.lit("disagree"))
+            .otherwise(status_expr)
+        )
+    status_expr = F.when(F.col("_e0") == 0, F.lit("nomatch")).otherwise(
+        status_expr
+    )
+    classified = fin.select(
+        query_id,
+        status_expr.alias("status"),
+        F.when(
+            F.col("_e0") == 0, F.lit("")
+        ).otherwise(
+            F.array_join(F.slice("_longest", 1, depth), ";")
+        ).alias("lineage"),
+        F.when(F.col("_e0") == 0, F.lit(0)).otherwise(depth).alias("depth"),
+    )
+    # queries with no surviving lineage at all -> nomatch rows
+    allq = queries.select(query_id).distinct()
+    return (
+        allq.join(classified, query_id, "left")
+        .select(
+            query_id,
+            F.coalesce("status", F.lit("nomatch")).alias("status"),
+            F.coalesce("lineage", F.lit("")).alias("lineage"),
+            F.coalesce("depth", F.lit(0)).cast("int").alias("depth"),
+        )
+    )
+
+
+def summarize(
+    queries: DataFrame,
+    db: DataFrame,
+    lineages: DataFrame,
+    n_ranks: int,
+    threshold: int = 5,
+    query_id: str = "query_id",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """`lca summarize` (command_summarize.py:20-58): per query, hashval-LCA
+    counts >= threshold rolled up the ancestor chain.  Returns
+    (query_id, lineage ';'-joined, depth, count)."""
+    hl = _query_assignments(
+        queries, db, lineages, n_ranks, query_id, sig_id
+    )
+    counts = (
+        hl.groupBy(query_id, "lca")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
+    # lca of depth d contributes to prefixes 1..d; an empty lca only to
+    # the root entry (command_summarize.py:48-54)
+    lens = F.when(
+        F.size("lca") > 0, F.sequence(F.lit(1), F.size("lca"))
+    ).otherwise(F.array(F.lit(0)))
+    exploded = counts.select(
+        query_id, "lca", "n", F.explode(lens).alias("_l")
+    )
+    return (
+        exploded.groupBy(
+            query_id,
+            F.array_join(F.slice("lca", 1, F.col("_l")), ";").alias(
+                "lineage"
+            ),
+            F.col("_l").cast("int").alias("depth"),
+        )
+        .agg(F.sum("n").alias("count"))
+    )
+
+
+def rankinfo(
+    db: DataFrame,
+    lineages: DataFrame,
+    ranks: list[str],
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """`lca rankinfo`: how many db hashvals resolve their LCA at each rank
+    (depth 0 = conflict at the root).  Returns (rank, depth, n_hashvals)."""
+    hl = hashval_lca(db, lineage_array(lineages, ranks, sig_id), len(ranks),
+                     sig_id)
+    return (
+        hl.groupBy(F.size("lca").cast("int").alias("depth"))
+        .agg(F.count("*").alias("n_hashvals"))
+        .select(
+            F.element_at(
+                F.array(F.lit("(root)"), *[F.lit(r) for r in ranks]),
+                F.col("depth") + 1,
+            ).alias("rank"),
+            "depth",
+            "n_hashvals",
+        )
+    )

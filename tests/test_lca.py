@@ -1,0 +1,191 @@
+"""LCA classify/summarize/rankinfo vs a literal port of the reference
+ALGORITHM (build_tree / find_lca / classify_signature semantics,
+lca_utils.py:137-225 + command_classify.py:18-77 + command_summarize.py:20-58)
+run in-test over the same tiny inputs."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter, defaultdict
+
+import pytest
+
+from sourmash_spark.operators import lca as lca_ops
+
+RANKS = ["superkingdom", "phylum", "species"]
+
+
+# ---- in-test oracle: the reference's tree walk over lineage tuples -------
+
+def _build_tree(assignments):
+    tree = {}
+    for assignment in assignments:
+        node = tree
+        for name in assignment:
+            if name:
+                node = node.setdefault(name, {})
+    return tree
+
+
+def _find_lca(tree):
+    node, lineage = tree, []
+    while True:
+        if len(node) == 1:
+            (name, node), = node.items()
+            lineage.append(name)
+        elif len(node) == 0:
+            return tuple(lineage), 0
+        else:
+            return tuple(lineage), len(node)
+
+
+def _oracle_hashval_lcas(query_hashes, db, lineage_of):
+    assignments = defaultdict(set)
+    for sid, hashes in db.items():
+        for h in hashes:
+            if h in query_hashes:
+                assignments[h].add(lineage_of[sid])
+    return {
+        h: _find_lca(_build_tree(lins))[0]
+        for h, lins in assignments.items()
+    }
+
+
+def _oracle_classify(query_hashes, db, lineage_of, threshold):
+    lcas = _oracle_hashval_lcas(query_hashes, db, lineage_of)
+    counts = Counter(lcas.values())
+    survivors = [l for l, c in counts.items() if c >= threshold]
+    tree = _build_tree(survivors) if survivors else {}
+    if not tree:
+        return (), "nomatch"
+    lca, reason = _find_lca(tree)
+    return lca, ("found" if reason == 0 else "disagree")
+
+
+def _oracle_summarize(query_hashes, db, lineage_of, threshold):
+    lcas = _oracle_hashval_lcas(query_hashes, db, lineage_of)
+    counts = Counter(lcas.values())
+    agg = defaultdict(int)
+    for lca, count in counts.items():
+        if count < threshold:
+            continue
+        if not lca:
+            agg[lca] += count
+        while lca:
+            agg[lca] += count
+            lca = lca[:-1]
+    return dict(agg)
+
+
+# ---- fixture data ---------------------------------------------------------
+
+def _mkdata(seed=11, n_sigs=12, n_hash=400):
+    rng = random.Random(seed)
+    lineage_of = {}
+    for sid in range(n_sigs):
+        sk = f"sk{sid % 2}"
+        ph = f"ph{sid % 4}"
+        sp = f"sp{sid}"
+        lineage_of[sid] = (sk, ph, sp)
+    db = {
+        sid: set(rng.sample(range(n_hash), 60)) for sid in range(n_sigs)
+    }
+    return db, lineage_of
+
+
+def _dfs(spark, db, lineage_of):
+    db_df = spark.createDataFrame(
+        [(sid, sorted(h)) for sid, h in db.items()],
+        "sig_id long, hashes array<long>",
+    )
+    lin_df = spark.createDataFrame(
+        [(sid, *lineage_of[sid]) for sid in lineage_of],
+        "sig_id long, superkingdom string, phylum string, species string",
+    )
+    return db_df, lineage_of and lin_df
+
+
+@pytest.mark.parametrize("threshold", [1, 3, 10])
+def test_classify_matches_reference_walk(spark, threshold):
+    db, lineage_of = _mkdata()
+    db_df, lin_df = _dfs(spark, db, lineage_of)
+    rng = random.Random(5)
+    queries = {
+        0: set(rng.sample(range(400), 80)),   # mixed -> likely disagree
+        1: db[3],                              # pure signature -> found
+        2: set(range(9000, 9040)),             # nothing in db -> nomatch
+    }
+    q_df = spark.createDataFrame(
+        [(qid, sorted(h)) for qid, h in queries.items()],
+        "query_id long, hashes array<long>",
+    )
+    got = {
+        r["query_id"]: r
+        for r in lca_ops.classify(
+            q_df, db_df,
+            lca_ops.lineage_array(lin_df, RANKS),
+            n_ranks=len(RANKS), threshold=threshold,
+        ).collect()
+    }
+    for qid, qh in queries.items():
+        want_lin, want_status = _oracle_classify(
+            qh, db, lineage_of, threshold
+        )
+        assert got[qid]["status"] == want_status, (qid, threshold)
+        assert got[qid]["lineage"] == ";".join(want_lin), (qid, threshold)
+        assert got[qid]["depth"] == len(want_lin)
+
+
+@pytest.mark.parametrize("threshold", [1, 4])
+def test_summarize_matches_reference_rollup(spark, threshold):
+    db, lineage_of = _mkdata(seed=7)
+    db_df, lin_df = _dfs(spark, db, lineage_of)
+    qh = set(random.Random(3).sample(range(400), 150))
+    q_df = spark.createDataFrame(
+        [(0, sorted(qh))], "query_id long, hashes array<long>"
+    )
+    got = {
+        (r["lineage"], r["depth"]): r["count"]
+        for r in lca_ops.summarize(
+            q_df, db_df,
+            lca_ops.lineage_array(lin_df, RANKS),
+            n_ranks=len(RANKS), threshold=threshold,
+        ).collect()
+    }
+    want = {
+        (";".join(lin), len(lin)): c
+        for lin, c in _oracle_summarize(qh, db, lineage_of, threshold).items()
+    }
+    assert got == want
+
+
+def test_rankinfo_counts_resolution_depths(spark):
+    db, lineage_of = _mkdata(seed=9)
+    db_df, lin_df = _dfs(spark, db, lineage_of)
+    lcas = _oracle_hashval_lcas(
+        set().union(*db.values()), db, lineage_of
+    )
+    want = Counter(len(l) for l in lcas.values())
+    got = {
+        r["depth"]: r["n_hashvals"]
+        for r in lca_ops.rankinfo(db_df, lin_df, RANKS).collect()
+    }
+    assert got == dict(want)
+    ranks = {
+        r["depth"]: r["rank"]
+        for r in lca_ops.rankinfo(db_df, lin_df, RANKS).collect()
+    }
+    for d, name in ranks.items():
+        assert name == ("(root)" if d == 0 else RANKS[d - 1])
+
+
+def test_lineage_array_trims_trailing_blanks(spark):
+    lin_df = spark.createDataFrame(
+        [(0, "sk0", "ph1", None), (1, "sk0", None, None), (2, "a", "b", "c")],
+        "sig_id long, superkingdom string, phylum string, species string",
+    )
+    got = {
+        r["sig_id"]: r["lineage"]
+        for r in lca_ops.lineage_array(lin_df, RANKS).collect()
+    }
+    assert got == {0: ["sk0", "ph1"], 1: ["sk0"], 2: ["a", "b", "c"]}
