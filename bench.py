@@ -49,24 +49,22 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
+    # CANONICAL PROTOCOL (recorded in the output JSON): best-of-N with the
+    # rep loop OUTSIDE the query loop — every query runs once per sweep, so
+    # shared-host noise bursts hit all queries instead of whichever query
+    # owned that wall-clock window (the r2 bench/BASELINE discrepancy was
+    # exactly this).
+    jobs: list[tuple[str, object]] = []
+
     def timed(name, fn):
-        nonlocal qtimes
-        best = float("inf")
-        out = None
-        for _ in range(reps):  # best-of-N: the host is shared and noisy
-            t0 = time.time()
-            out = fn()
-            best = min(best, time.time() - t0)
-        qtimes[name] = round(best, 3)
-        return out
+        jobs.append((name, fn))
 
     # signature throughput (the north-rule headline)
     def q_sketch():
         sigs = entrymod._murmur_sigs(spark, sf_dir)
         return sigs.count()
 
-    n_docs = timed("sketch_murmur", q_sketch)
-    sigs_per_sec = round(n_docs / qtimes["sketch_murmur"], 1)
+    timed("sketch_murmur", q_sketch)
 
     # full pipeline: sketch -> bands -> candidates -> verify -> cluster
     def q_pipeline():
@@ -138,7 +136,8 @@ def main() -> None:
             n_planes=entrymod.EMB_PLANES, dim=entrymod.EMB_DIM,
         ).count(),
     )
-    aug.unpersist()
+    # NOTE: aug stays cached through the timing sweeps (queries execute
+    # interleaved after registration); Spark frees it with the session.
 
     timed(
         "tax_metagenome",
@@ -161,6 +160,20 @@ def main() -> None:
         .count(),
     )
 
+    # interleaved sweeps: best-of-reps per query
+    best: dict[str, float] = {}
+    n_docs = 0
+    for _ in range(reps):
+        for name, fn in jobs:
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best[name] = min(best.get(name, float("inf")), dt)
+            if name == "sketch_murmur":
+                n_docs = out
+    qtimes = {name: round(best[name], 3) for name, _ in jobs}
+    sigs_per_sec = round(n_docs / qtimes["sketch_murmur"], 1)
+
     total = round(sum(qtimes.values()), 3)
     print(
         json.dumps(
@@ -173,6 +186,7 @@ def main() -> None:
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "sigs_per_sec": sigs_per_sec,
+                "protocol": f"best-of-{reps}, interleaved sweeps",
             }
         )
     )
