@@ -253,29 +253,84 @@ def simhash(
 
 
 def simhash_pairs(
-    sims: DataFrame, max_hamming: int = 8, id_col: str = "doc_id"
+    sims: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    block_pairs: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance.
+    """Near-dup pairs by simhash hamming distance (lossless blocking +
+    exact bit_count(xor) verification — output identical either way).
 
-    Blocking: split the 60-bit simhash into (max_hamming+1) chunks — two
-    values within `max_hamming` share at least one exact chunk (pigeonhole),
-    so the join is an equi-join on (chunk_idx, chunk_value), never a cross
-    join.  Verification = bit_count(xor) filter."""
-    n_chunks = max_hamming + 1
-    width = SIMHASH_BITS // n_chunks + (1 if SIMHASH_BITS % n_chunks else 0)
-    chunks = sims.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
-    )
+    `block_pairs=False` (single-chunk pigeonhole): split the 60-bit
+    simhash into (max_hamming+1) chunks — two values within `max_hamming`
+    share >= 1 exact chunk, so the join is an equi-join on
+    (chunk_idx, chunk_value).  Bucket population ~ N / 2^(60/(h+1)): fine
+    until N outgrows the chunk width (h=12 -> ~4.6-bit chunks).
+
+    `block_pairs=True` (two-chunk blocking, the HmSearch/multi-index
+    trade): split into (max_hamming+2) chunks and join on PAIRS of chunks
+    — <= h differing bits leave >= 2 untouched chunks, so every true pair
+    still shares a key, while buckets are keyed by ~2x the bits
+    (population ~ N / 2^(2*60/(h+2))).  Costs C(h+2, 2)/(h+1) more posting
+    rows for exponentially smaller buckets — the right side of the trade
+    once N is large (sf1 measured: 67.5s -> single, see BENCH/BASELINE.md).
+    """
+    if block_pairs:
+        n_chunks = max_hamming + 2
+    else:
+        n_chunks = max_hamming + 1
+    if n_chunks > SIMHASH_BITS:
+        raise ValueError(
+            f"max_hamming {max_hamming} needs {n_chunks} non-empty chunks "
+            f"over {SIMHASH_BITS} bits"
+        )
+    # distribute the 60 bits EVENLY (first `rem` chunks one bit wider): a
+    # fixed width leaves trailing all-zero chunks that (a) degenerate into
+    # one bucket holding every row and (b) push shift distances past 63,
+    # where JVM long shifts silently wrap mod 64
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    offsets, widths, off = [], [], 0
+    for i in range(n_chunks):
+        w = base + (1 if i < rem else 0)
+        offsets.append(off)
+        widths.append(w)
+        off += w
+    chunk_exprs = [
+        F.shiftrightunsigned(F.col("simhash"), offsets[i])
+        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(n_chunks)
+    ]
+    if block_pairs:
+        keyed = F.array(
+            *[
+                F.struct(
+                    F.lit(i * n_chunks + j).alias("k"),
+                    (
+                        chunk_exprs[i] * F.lit(1 << widths[j])
+                        + chunk_exprs[j]
+                    ).alias("v"),
+                )
+                for i in range(n_chunks)
+                for j in range(i + 1, n_chunks)
+            ]
+        )
+        chunks = sims.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(keyed).alias("kv"),
+        ).select(
+            id_col, "simhash",
+            F.col("kv.k").alias("chunk_idx"),
+            F.col("kv.v").alias("chunk_val"),
+        )
+    else:
+        chunks = sims.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.posexplode(F.array(*chunk_exprs)).alias(
+                "chunk_idx", "chunk_val"
+            ),
+        )
     a = chunks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
         "chunk_idx", "chunk_val",

@@ -153,3 +153,50 @@ def test_cap_observation_lineage(spark):
 
     # no cap -> passthrough, no lineage required
     assert cap_postings(p, ["hashval"], 0).count() == 80
+
+
+def test_simhash_blockpair_equals_single_chunk(spark):
+    """Two-chunk blocking (HmSearch trade) is lossless: identical pair set
+    to single-chunk pigeonhole at every max_hamming, including h where a
+    naive fixed chunk width would shift past bit 63 (JVM shifts wrap) —
+    verified on simhash values planted at EXACT hamming distances."""
+    import random
+
+    rng = random.Random(17)
+    base = rng.getrandbits(60)
+
+    def flip(v, nbits, seed):
+        r = random.Random(seed)
+        for b in r.sample(range(60), nbits):
+            v ^= 1 << b
+        return v
+
+    rows = [(0, base, 10)]
+    # planted distances from base: 3, 8, 12 (in-radius at h=12), 13 (out)
+    for i, d in enumerate((3, 8, 12, 13), start=1):
+        rows.append((i, flip(base, d, i), 10))
+    rows += [(100 + i, rng.getrandbits(60), 10) for i in range(20)]
+    sims = spark.createDataFrame(
+        rows, "doc_id long, simhash long, n_toks long"
+    )
+    vals = {r[0]: r[1] for r in rows}
+    for h in (4, 8, 12):
+        want = {
+            (i, j, bin(vals[i] ^ vals[j]).count("1"))
+            for i in vals
+            for j in vals
+            if i < j and bin(vals[i] ^ vals[j]).count("1") <= h
+        }
+        a = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup_ops.simhash_pairs(sims, max_hamming=h).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup_ops.simhash_pairs(
+                sims, max_hamming=h, block_pairs=True
+            ).collect()
+        }
+        assert a == want, h
+        assert b == want, h
+        assert a  # planted in-radius pairs exist at every tested h

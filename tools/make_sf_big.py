@@ -35,8 +35,13 @@ def _copies(spark, n):
 
 
 def scramble_words(text_col, copy_col):
-    """Deterministic word-order scramble keyed by (word, copy): sort words
-    by xxhash64(word || copy).  Same multiset -> same order across docs."""
+    """Deterministic per-copy text perturbation keyed by (word, copy):
+    (a) ~40% of words are rewritten (word -> word~copy) so the word
+    MULTISET differs across copies (bag-of-words ops like SimHash must not
+    see the copies as identical), and (b) word order is scrambled by
+    sorting on xxhash64(word || copy).  Both transforms are functions of
+    (word, copy) alone, so near-duplicate documents receive near-identical
+    transforms WITHIN a copy and the planted dup structure is preserved."""
     words = F.split(text_col, " ")
     keyed = F.transform(
         words,
@@ -44,7 +49,16 @@ def scramble_words(text_col, copy_col):
             F.xxhash64(F.concat(w, F.lit("#"), copy_col.cast("string"))).alias(
                 "k"
             ),
-            w.alias("w"),
+            F.when(
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(w, F.lit("@"), copy_col.cast("string"))
+                    ),
+                    F.lit(5),
+                )
+                < 2,
+                F.concat(w, F.lit("~"), copy_col.cast("string")),
+            ).otherwise(w).alias("w"),
         ),
     )
     return F.array_join(
