@@ -547,3 +547,67 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    n_cells: int = 16,
+    eps: float = 0.95,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): coarse-cluster the embeddings (IVF assignment — each vector
+    to its nearest codebook cell), then WITHIN each cell mark a vector as
+    a semantic duplicate when some lower-id vector in the same cell has
+    cosine >= eps.  The kept set is deterministic (lowest id per epsilon
+    neighborhood survives); `dup_of` is the dominating vector with the
+    highest cosine (ties -> lowest id).
+
+    Returns the duplicate rows: (vec_id, cell, dup_of, cosine).
+
+    Scale shape: the cell is the blocking key — the only pair join is the
+    within-cell self-join, O(sum cell_size^2) with cell sizes ~ N/n_cells
+    (grow n_cells with N; a real deployment feeds k-means centroids via
+    `centroids`).  Centroid assignment is a broadcast crossJoin against
+    the small codebook, same plan as ivf_topk."""
+    if centroids is None:
+        # deterministic seed codebook, same convention as ivf_topk
+        centroids = embs.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell"), vec_col
+        )
+    cells = ivf_assign(embs, centroids, id_col, vec_col, n_probe=1).select(
+        id_col, "cell"
+    )
+    v = embs.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                docops.cosine_similarity(F.col("_va"), F.col("_vb")), 6
+            ),
+        )
+        .filter(F.col("cosine") >= eps)
+    )
+    w = Window.partitionBy("id_b").orderBy(
+        F.desc("cosine"), F.asc("id_a")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("id_b").alias(id_col),
+            "cell",
+            F.col("id_a").alias("dup_of"),
+            "cosine",
+        )
+    )

@@ -119,3 +119,122 @@ def winnow_fingerprints(
             F.col("_fp.mn").alias("min_fingerprint"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that contain any
+    word n-gram from a benchmark/eval set (the GPT-3/Pile-style n-gram
+    overlap rule).  Returns one row per contaminated document:
+    (doc_id, n_contaminated_grams, n_benchmarks_hit).
+
+    Plan shape: the benchmark is the small side — its hashed n-grams
+    broadcast, the corpus postings stream through a broadcast hash join
+    (no corpus shuffle except the per-doc count agg).  8-byte xxhash64
+    grams ride the join instead of strings."""
+    def grams(df, idc, txt):
+        return df.select(
+            F.col(idc),
+            F.explode(
+                F.array_distinct(docops.word_ngrams(F.col(txt), n))
+            ).alias("gram"),
+        ).select(idc, F.xxhash64("gram").alias("gram"))
+
+    bg = F.broadcast(
+        grams(benchmark, bench_id, bench_text).withColumnRenamed(
+            bench_id, "_bid"
+        )
+    )
+    return (
+        grams(docs, id_col, text_col)
+        .join(bg, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated_grams"),
+            F.countDistinct("_bid").alias("n_benchmarks_hit"),
+        )
+    )
+
+
+def gopher_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_dup_line_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+    max_noalpha_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1
+    heuristics, re-expressed): per document —
+
+    * n_words, mean_word_len
+    * dup_line_frac: 1 - distinct(lines)/lines (0 for single-line docs)
+    * top2gram_frac: occurrences of the most frequent word 2-gram over all
+      2-grams (the repetition signal; computed with explode + two map-side
+      combined aggs, NOT a per-row quadratic scan)
+    * noalpha_frac: fraction of words with no alphabetic character
+    * passes: every signal within its threshold
+
+    All other metrics are single narrow projections; the only exchange is
+    the 2-gram count agg keyed by doc_id."""
+    w = docops.words(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(
+                w, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+            )
+            / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(lines))
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.size(F.filter(w, lambda x: ~x.rlike("[A-Za-z]")))
+            / F.greatest(F.size(w), F.lit(1)),
+            6,
+        ).alias("noalpha_frac"),
+    )
+    g2 = docs.select(
+        F.col(id_col),
+        F.explode(docops.word_ngrams(F.col(text_col), 2)).alias("g"),
+    )
+    top2 = (
+        g2.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("c").alias("_top"),
+            F.sum("c").alias("_tot"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("_top") / F.col("_tot"), 6).alias("top2gram_frac"),
+        )
+    )
+    out = base.join(top2, id_col, "left").withColumn(
+        "top2gram_frac", F.coalesce("top2gram_frac", F.lit(0.0))
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top2gram_frac") <= max_top2gram_frac)
+        & (F.col("noalpha_frac") <= max_noalpha_frac)
+    )
+    return out.withColumn("passes", passes)

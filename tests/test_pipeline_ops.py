@@ -1,0 +1,74 @@
+"""Training-pipeline extensions (r3): benchmark decontamination,
+Gopher-style repetition quality, SemDeDup semantic dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from sourmash_spark.operators import ann as ann_ops
+from sourmash_spark.operators import text as text_ops
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench_snippet = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"lead {bench_snippet} tail words here and more"),
+            (1, "totally unrelated content with no overlap at all ok"),
+            (2, f"prefix stuff {bench_snippet} and then something else"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"question about {bench_snippet} answer")],
+        "bench_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_ops.decontaminate(docs, bench, n=8).collect()
+    }
+    assert set(got) == {0, 2}
+    assert all(r["n_benchmarks_hit"] == 1 for r in got.values())
+    assert all(r["n_contaminated_grams"] >= 1 for r in got.values())
+
+
+def test_gopher_quality_thresholds(spark):
+    long_ok = "the quick brown fox jumps over a lazy dog near river " * 10
+    repeated = "spam ham " * 200  # one dominating 2-gram
+    dup_lines = "\n".join(["same line of text here"] * 10)
+    short = "too short"
+    docs = spark.createDataFrame(
+        [(0, long_ok), (1, repeated), (2, dup_lines), (3, short)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_ops.gopher_quality(docs).collect()}
+    assert got[0]["passes"]
+    assert not got[1]["passes"] and got[1]["top2gram_frac"] > 0.2
+    assert not got[2]["passes"] and got[2]["dup_line_frac"] > 0.3
+    assert not got[3]["passes"] and got[3]["n_words"] < 50
+    # numeric sanity: dup_lines doc has 10 lines, 1 distinct
+    assert abs(got[2]["dup_line_frac"] - 0.9) < 1e-6
+
+
+def test_semantic_dedup_finds_planted_copies(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # planted near-copies of vectors 20..29 at ids 1000+
+    for i in range(10):
+        v = base[20 + i] + 0.01 * rng.randn(16)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + i, v.tolist()))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dups = ann_ops.semantic_dedup(embs, n_cells=8, eps=0.95).collect()
+    got = {r["vec_id"]: r["dup_of"] for r in dups}
+    # every planted copy is deduped against its (lower-id) original —
+    # unless the cell boundary split the pair, which the seeded data avoids
+    found = {k for k in got if k >= 1000}
+    assert len(found) >= 8  # allow <=2 boundary splits
+    for k in found:
+        assert got[k] == k - 980  # 1000+i -> 20+i
+    # originals are never marked duplicates of each other (random vectors)
+    assert not [k for k in got if k < 1000]
