@@ -1,0 +1,119 @@
+"""Cluster entry point: training-data quality + contamination filter.
+
+Chains the pipeline's document-level filters into one pass over a corpus
+table and writes the surviving rows plus per-stage drop lineage:
+
+  1. exact dedup        — md5(content) groups, keep the lowest id
+  2. Gopher quality     — repetition/length signals (text.gopher_quality)
+  3. decontamination    — word n-gram overlap vs a benchmark table
+                          (skipped when --benchmark is not given)
+
+Deploy:
+    spark-submit --py-files sourmash_spark.zip jobs/quality_filter_job.py \
+        --input  <parquet of documents (id, text, ...)> \
+        --output <output dir> \
+        [--benchmark <parquet of (bench_id, text)>] [--ngram 8] \
+        [--id-col doc_id] [--text-col text] [--min-words 50]
+
+Writes:
+    <output>/filtered.parquet   surviving rows (all input columns)
+    <output>/lineage.parquet    (stage, doc_id) for every dropped row
+Prints one summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--ngram", type=int, default=8)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-words", type=int, default=50)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    import pyspark.sql.functions as F
+
+    spark = (
+        SparkSession.builder.appName("sourmash_spark_quality_filter")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    from sourmash_spark.operators import dedup as dedup_ops
+    from sourmash_spark.operators import text as text_ops
+
+    t0 = time.time()
+    idc, txt = args.id_col, args.text_col
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+
+    # 1. exact dedup: drop every non-canonical copy
+    groups = dedup_ops.exact_dedup(docs, id_col=idc, text_col=txt)
+    dup_ids = groups.select(
+        F.explode("dup_ids").alias(idc), F.col("canonical_id")
+    ).filter(F.col(idc) != F.col("canonical_id")).select(idc)
+    drops = [dup_ids.withColumn("stage", F.lit("exact_dup"))]
+    docs1 = docs.join(F.broadcast(dup_ids), idc, "left_anti")
+
+    # 2. Gopher-style quality
+    q = text_ops.gopher_quality(
+        docs1, id_col=idc, text_col=txt, min_words=args.min_words
+    )
+    bad_q = q.filter(~F.col("passes")).select(idc)
+    drops.append(bad_q.withColumn("stage", F.lit("gopher_quality")))
+    docs2 = docs1.join(bad_q, idc, "left_anti")
+
+    # 3. benchmark decontamination
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        contaminated = text_ops.decontaminate(
+            docs2, bench, n=args.ngram, id_col=idc, text_col=txt
+        ).select(idc)
+        drops.append(
+            contaminated.withColumn("stage", F.lit("decontaminate"))
+        )
+        docs3 = docs2.join(contaminated, idc, "left_anti")
+    else:
+        docs3 = docs2
+
+    docs3.write.mode("overwrite").parquet(f"{args.output}/filtered.parquet")
+    lineage = drops[0]
+    for d in drops[1:]:
+        lineage = lineage.unionByName(d)
+    lineage.write.mode("overwrite").parquet(
+        f"{args.output}/lineage.parquet"
+    )
+
+    n_out = spark.read.parquet(f"{args.output}/filtered.parquet").count()
+    by_stage = {
+        r["stage"]: r["n"]
+        for r in spark.read.parquet(f"{args.output}/lineage.parquet")
+        .groupBy("stage")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    print(
+        json.dumps(
+            {
+                "n_in": n_in,
+                "n_out": n_out,
+                "dropped_by_stage": by_stage,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -72,3 +72,38 @@ def test_semantic_dedup_finds_planted_copies(spark):
         assert got[k] == k - 980  # 1000+i -> 20+i
     # originals are never marked duplicates of each other (random vectors)
     assert not [k for k in got if k < 1000]
+
+
+def test_quality_filter_job_partitions_input(spark, tmp_path):
+    """jobs/quality_filter_job: filtered + lineage exactly partition the
+    input; stage attribution is first-drop-wins in pipeline order."""
+    import duckdb
+
+    from jobs.quality_filter_job import main
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    bench = str(tmp_path / "bench.parquet")
+    out = str(tmp_path / "qf")
+    duckdb.sql(
+        f"COPY (SELECT doc_id AS bench_id, text FROM '{src}' "
+        "WHERE doc_id % 11 = 3) TO '" + bench + "' (FORMAT PARQUET)"
+    )
+    assert main(
+        ["--input", src, "--output", out, "--benchmark", bench,
+         "--min-words", "20"]
+    ) == 0
+    docs = spark.read.parquet(src)
+    kept = spark.read.parquet(f"{out}/filtered.parquet")
+    lin = spark.read.parquet(f"{out}/lineage.parquet")
+    n_in, n_kept, n_drop = docs.count(), kept.count(), lin.count()
+    assert n_in == n_kept + n_drop
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    drop_ids = {r["doc_id"] for r in lin.select("doc_id").collect()}
+    assert not (kept_ids & drop_ids)
+    assert kept_ids | drop_ids == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    # each dropped id appears exactly once (first drop wins)
+    assert lin.groupBy("doc_id").count().filter("count > 1").count() == 0
+    stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
+    assert stages <= {"exact_dup", "gopher_quality", "decontaminate"}
