@@ -268,3 +268,22 @@ def rankinfo(
             "n_hashvals",
         )
     )
+
+
+def build_index(
+    db: DataFrame,
+    lineages: DataFrame,
+    ranks: list[str],
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """`lca index` (reference lca_db build): the materializable
+    hashval -> lineage postings table every LCA command queries —
+    (hashval, sig_id, lineage array).  Written once per (db, taxonomy)
+    snapshot and reused; classify/summarize over a prebuilt index skip
+    the explode+join entirely."""
+    lin = lineage_array(lineages, ranks, sig_id)
+    return (
+        db.select(F.col(sig_id), F.explode("hashes").alias("hashval"))
+        .join(F.broadcast(lin), sig_id)
+        .select("hashval", sig_id, "lineage")
+    )

@@ -189,3 +189,35 @@ def test_lineage_array_trims_trailing_blanks(spark):
         for r in lca_ops.lineage_array(lin_df, RANKS).collect()
     }
     assert got == {0: ["sk0", "ph1"], 1: ["sk0"], 2: ["a", "b", "c"]}
+
+
+def test_build_index_feeds_the_same_classifications(spark):
+    """lca index parity: hashval-LCAs computed from the materialized index
+    equal the direct-path ones."""
+    import pyspark.sql.functions as F
+
+    db, lineage_of = _mkdata(seed=21)
+    db_df, lin_df = _dfs(spark, db, lineage_of)
+    idx = lca_ops.build_index(db_df, lin_df, RANKS)
+    assert idx.columns == ["hashval", "sig_id", "lineage"]
+    # rebuild per-hashval LCA from the index and compare with hashval_lca
+    direct = {
+        (r["hashval"], tuple(r["lca"]))
+        for r in lca_ops.hashval_lca(
+            db_df, lca_ops.lineage_array(lin_df, RANKS), len(RANKS)
+        ).collect()
+    }
+    from_index = (
+        idx.select("hashval", "lineage")
+        .distinct()
+        .groupBy("hashval")
+        .agg(*lca_ops._walk_aggs(len(RANKS)))
+        .select(
+            "hashval",
+            F.slice(
+                "_longest", 1, lca_ops._lca_prefix_len(len(RANKS))
+            ).alias("lca"),
+        )
+    )
+    got = {(r["hashval"], tuple(r["lca"])) for r in from_index.collect()}
+    assert got == direct
