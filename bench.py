@@ -106,9 +106,13 @@ def main() -> None:
     sigs_cached = entrymod._murmur_sigs(spark, sf_dir).cache()
     sigs_cached.count()
 
+    # scaled passed explicitly: skips the plan-build metadata job; the r3
+    # execution-time uniformity assertion makes this safe
     timed(
         "compare_all_pairs",
-        lambda: compare_all_pairs(sigs_cached, threshold=0.25).count(),
+        lambda: compare_all_pairs(
+            sigs_cached, threshold=0.25, scaled=P.scaled
+        ).count(),
     )
 
     from sourmash_spark.session import ensure_parallelism
@@ -164,6 +168,22 @@ def main() -> None:
     timed(
         "tax_metagenome",
         lambda: entrymod.queries()["tax_metagenome_murmur"](spark, sf_dir).count(),
+    )
+
+    # r3 additions: LCA classify, Gopher quality, semantic dedup
+    timed(
+        "lca_classify",
+        lambda: entrymod.queries()["lca_classify_murmur"](spark, sf_dir).count(),
+    )
+    timed(
+        "gopher_quality",
+        lambda: text_ops.gopher_quality(docs).count(),
+    )
+    from sourmash_spark.operators.ann import semantic_dedup
+
+    timed(
+        "semantic_dedup",
+        lambda: semantic_dedup(aug, n_cells=16, eps=0.9).count(),
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
