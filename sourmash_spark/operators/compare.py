@@ -137,9 +137,18 @@ def compare_all_pairs(
             "collection: downsample first or omit `scaled`",
         )
     if scaled is None and "scaled" in sigs.columns:
-        scaled_vals = [
-            r["scaled"] for r in sigs.select("scaled").distinct().collect()
-        ]
+        meta_aggs = [F.collect_set("scaled").alias("_s")]
+        if "ksize" in sigs.columns:
+            meta_aggs.append(F.countDistinct("ksize").alias("_k"))
+        meta = sigs.agg(*meta_aggs).collect()[0]
+        if "ksize" in sigs.columns and meta["_k"] > 1:
+            # reference parity: different ksizes cannot be compared
+            # (minhash.py mismatch TypeError)
+            raise ValueError(
+                "compare_all_pairs: signatures with different ksizes "
+                "cannot be compared"
+            )
+        scaled_vals = list(meta["_s"])
         if len(scaled_vals) > 1:
             from .setops import downsample_signatures
 

@@ -200,3 +200,22 @@ def test_simhash_blockpair_equals_single_chunk(spark):
         assert a == want, h
         assert b == want, h
         assert a  # planted in-radius pairs exist at every tested h
+
+
+def test_compare_rejects_mixed_ksize(spark):
+    """Reference parity: signatures sketched at different ksizes cannot be
+    compared (the metadata check rides the existing plan-build agg)."""
+    import pytest
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2], 2, 8, 21), (2, [2, 3], 2, 8, 31)],
+        "sig_id long, hashes array<long>, n_hashes int, scaled long, ksize int",
+    )
+    with pytest.raises(ValueError, match="different ksizes"):
+        compare_all_pairs(sigs).collect()
+    # uniform ksize passes
+    ok = spark.createDataFrame(
+        [(1, [1, 2], 2, 8, 21), (2, [2, 3], 2, 8, 21)],
+        "sig_id long, hashes array<long>, n_hashes int, scaled long, ksize int",
+    )
+    assert compare_all_pairs(ok).count() == 1

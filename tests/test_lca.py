@@ -221,3 +221,58 @@ def test_build_index_feeds_the_same_classifications(spark):
     )
     got = {(r["hashval"], tuple(r["lca"])) for r in from_index.collect()}
     assert got == direct
+
+
+def test_lca_classify_randomized_matches_reference_walk(spark):
+    """Property-style sweep: many random (db, lineage, query, threshold)
+    draws, every classification must match the literal reference walk."""
+    rng = random.Random(99)
+    for trial in range(4):
+        n_sigs = rng.randint(4, 14)
+        n_hash = rng.randint(60, 300)
+        lineage_of = {
+            sid: (
+                f"sk{rng.randint(0, 2)}",
+                f"ph{rng.randint(0, 5)}",
+                f"sp{sid}",
+            )
+            for sid in range(n_sigs)
+        }
+        db = {
+            sid: set(
+                rng.sample(range(n_hash), rng.randint(10, n_hash // 2))
+            )
+            for sid in range(n_sigs)
+        }
+        db_df = spark.createDataFrame(
+            [(sid, sorted(h)) for sid, h in db.items()],
+            "sig_id long, hashes array<long>",
+        )
+        lin_df = spark.createDataFrame(
+            [(sid, *lineage_of[sid]) for sid in lineage_of],
+            "sig_id long, superkingdom string, phylum string, species string",
+        )
+        queries = {
+            qid: set(rng.sample(range(n_hash), rng.randint(5, n_hash // 2)))
+            for qid in range(3)
+        }
+        q_df = spark.createDataFrame(
+            [(qid, sorted(h)) for qid, h in queries.items()],
+            "query_id long, hashes array<long>",
+        )
+        threshold = rng.randint(1, 6)
+        got = {
+            r["query_id"]: r
+            for r in lca_ops.classify(
+                q_df, db_df, lca_ops.lineage_array(lin_df, RANKS),
+                n_ranks=len(RANKS), threshold=threshold,
+            ).collect()
+        }
+        for qid, qh in queries.items():
+            want_lin, want_status = _oracle_classify(
+                qh, db, lineage_of, threshold
+            )
+            assert got[qid]["status"] == want_status, (trial, qid, threshold)
+            assert got[qid]["lineage"] == ";".join(want_lin), (
+                trial, qid, threshold,
+            )
