@@ -120,3 +120,38 @@ def attach_best_match(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def stream_ingest(
+    stream_docs: DataFrame,
+    base_dir: str,
+    config,
+    checkpoint_dir: str,
+):
+    """Streaming corpus ingest: every micro-batch of new documents flows
+    through `pipeline.incremental_update` (sketch only the increment, band
+    it, join new x (old ∪ new) candidates, verify, re-converge clusters) —
+    the Structured-Streaming face of the daily-ingest path.
+
+    `foreachBatch` is the right tool here (not a stateful operator): each
+    batch is a bounded increment against persistent stage TABLES, and the
+    batch work is itself a multi-stage batch plan.  The streaming
+    checkpoint gives exactly-once batch ids; the stage tables make the
+    work idempotent per increment.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ..pipeline import incremental_update
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        incremental_update(
+            batch_df.sparkSession, batch_df, base_dir, config
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -172,3 +172,58 @@ def test_bucketed_signatures_skip_join_shuffle(spark, corpus, tmp_path):
     a = {(r.sig_id, r.cluster_id) for r in out["clusters"].collect()}
     b = {(r.sig_id, r.cluster_id) for r in out2["clusters"].collect()}
     assert a == b
+
+
+def test_stream_ingest_equals_batch_incremental(spark, corpus, tmp_path):
+    """Structured-Streaming ingest (foreachBatch -> incremental_update)
+    lands the same edges/clusters as the batch incremental path; the
+    availableNow trigger drains a file-source stream of new documents."""
+    import pyspark.sql.functions as F
+
+    from sourmash_spark.pipeline import incremental_update
+    from sourmash_spark.streaming.watch import stream_ingest
+
+    base_s = str(tmp_path / "stream_base")
+    base_b = str(tmp_path / "batch_base")
+    stream_src = str(tmp_path / "arrivals")
+    pdf = corpus.code_files
+    first = pdf[pdf.file_id < 40]
+    extra = pdf[pdf.file_id >= 40]
+
+    df_first = spark.createDataFrame(first).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    df_extra = spark.createDataFrame(extra).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+
+    # identical starting state for both paths
+    run_pipeline(spark, df_first, base_s, CFG)
+    run_pipeline(spark, df_first, base_b, CFG)
+    batch_res = incremental_update(spark, df_extra, base_b, CFG)
+
+    # new docs arrive as files; drain with availableNow
+    df_extra.write.mode("overwrite").parquet(stream_src)
+    stream = (
+        spark.readStream.schema(df_extra.schema).parquet(stream_src)
+    )
+    q = stream_ingest(
+        stream, base_s, CFG, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    from sourmash_spark.sources import checkpoint as ckpt
+
+    ch = CFG.config_hash()
+    stream_edges = spark.read.parquet(
+        ckpt.stage_path(base_s, "edges", ch)
+    ).unionByName(
+        spark.read.parquet(
+            ckpt.stage_path(base_s, "edges", ch) + "_inc"
+        ),
+        allowMissingColumns=True,
+    )
+    batch_edges = batch_res["edges"]
+    got = {(r.sig_id_a, r.sig_id_b) for r in stream_edges.collect()}
+    want = {(r.sig_id_a, r.sig_id_b) for r in batch_edges.collect()}
+    assert got == want
