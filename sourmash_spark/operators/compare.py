@@ -105,8 +105,13 @@ def compare_all_pairs(
     mode: str = "jaccard",
     scaled: int | None = None,
     df_cap: int = DEFAULT_DF_CAP,
+    estimate_ani: bool = False,
+    ksize: int = 21,
 ) -> DataFrame:
     """Long-form pairwise similarity over one signatures DataFrame.
+
+    `estimate_ani=True` appends the reference's `compare --estimate-ani`
+    column (jaccard- or containment-derived ANI point per `mode`).
 
     Output: (sig_id_a, sig_id_b, intersect_hashes, size_a, size_b, and the
     requested score column) with sig_id_a < sig_id_b; pairs below
@@ -198,6 +203,15 @@ def compare_all_pairs(
     else:
         raise ValueError(f"unknown mode {mode}")
     out = pairs.withColumn(mode, score)
+    if estimate_ani:
+        # the reference's `compare --estimate-ani` matrix (commands.py
+        # compare: ANI from the chosen similarity measure)
+        ani = (
+            kernels.jaccard_ani_point(F.col(mode), F.lit(ksize))
+            if mode == "jaccard"
+            else kernels.containment_ani_point(F.col(mode), F.lit(ksize))
+        )
+        out = out.withColumn("ani", ani)
     if threshold > 0.0:
         out = out.filter(F.col(mode) >= threshold)
     return out

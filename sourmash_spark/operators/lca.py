@@ -131,21 +131,48 @@ def _query_assignments(
     """(query_id, hashval, lca) for every query hash found in the db —
     query postings broadcast (small side), db postings never shuffle for
     the join; the LCA aggregation is the only exchange."""
-    qp = F.broadcast(
-        queries.select(F.col(query_id), F.explode("hashes").alias("hashval"))
-    )
+    if "abunds" in queries.columns:
+        # weighted hashvals (reference count_lca_for_assignments with
+        # hashval_counts): weight rides the postings, constant per
+        # (query, hashval)
+        qp = F.broadcast(
+            queries.select(
+                F.col(query_id),
+                F.explode(
+                    F.arrays_zip(
+                        F.col("hashes").alias("hashval"),
+                        F.col("abunds").alias("w"),
+                    )
+                ).alias("hw"),
+            ).select(
+                query_id,
+                F.col("hw.hashval").alias("hashval"),
+                F.col("hw.w").alias("w"),
+            )
+        )
+    else:
+        qp = F.broadcast(
+            queries.select(
+                F.col(query_id),
+                F.explode("hashes").alias("hashval"),
+                F.lit(1).cast("long").alias("w"),
+            )
+        )
     dp = db.select(F.col(sig_id), F.explode("hashes").alias("hashval"))
     assign = (
         dp.join(qp, "hashval")
         .join(F.broadcast(lineages), sig_id)
-        .select(query_id, "hashval", "lineage")
+        .select(query_id, "hashval", "w", "lineage")
         .distinct()
     )
-    agg = assign.groupBy(query_id, "hashval").agg(*_walk_aggs(n_ranks))
+    agg = assign.groupBy(query_id, "hashval").agg(
+        *_walk_aggs(n_ranks), F.first("w").alias("w")
+    )
     return agg.select(
         query_id,
         "hashval",
         F.slice("_longest", 1, _lca_prefix_len(n_ranks)).alias("lca"),
+        "w",
     )
 
 
@@ -217,13 +244,17 @@ def summarize(
 ) -> DataFrame:
     """`lca summarize` (command_summarize.py:20-58): per query, hashval-LCA
     counts >= threshold rolled up the ancestor chain.  Returns
-    (query_id, lineage ';'-joined, depth, count)."""
+    (query_id, lineage ';'-joined, depth, count).
+
+    When `queries` carries an `abunds` column the counts are
+    abundance-weighted (count_lca_for_assignments with hashval_counts —
+    the reference's default; drop the column for --ignore-abundance)."""
     hl = _query_assignments(
         queries, db, lineages, n_ranks, query_id, sig_id
     )
     counts = (
         hl.groupBy(query_id, "lca")
-        .agg(F.count("*").alias("n"))
+        .agg(F.sum("w").alias("n"))
         .filter(F.col("n") >= threshold)
     )
     # lca of depth d contributes to prefixes 1..d; an empty lca only to

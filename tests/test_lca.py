@@ -276,3 +276,53 @@ def test_lca_classify_randomized_matches_reference_walk(spark):
             assert got[qid]["lineage"] == ";".join(want_lin), (
                 trial, qid, threshold,
             )
+
+
+def test_summarize_weighted_by_abundance(spark):
+    """With an abunds column, summarize weights hashval-LCA counts by the
+    query abundances (count_lca_for_assignments(assignments,
+    hashval_counts) — the reference default when abundances are tracked)."""
+    db, lineage_of = _mkdata(seed=13)
+    db_df, lin_df = _dfs(spark, db, lineage_of)
+    qh = sorted(random.Random(8).sample(range(400), 120))
+    weights = {h: 1 + (h % 4) for h in qh}
+    q_df = spark.createDataFrame(
+        [(0, qh, [weights[h] for h in qh])],
+        "query_id long, hashes array<long>, abunds array<long>",
+    )
+    threshold = 4
+    got = {
+        (r["lineage"], r["depth"]): r["count"]
+        for r in lca_ops.summarize(
+            q_df, db_df, lca_ops.lineage_array(lin_df, RANKS),
+            n_ranks=len(RANKS), threshold=threshold,
+        ).collect()
+    }
+    # weighted in-test oracle
+    lcas = _oracle_hashval_lcas(set(qh), db, lineage_of)
+    counts = defaultdict(int)
+    for h, lca in lcas.items():
+        counts[lca] += weights[h]
+    agg = defaultdict(int)
+    for lca, count in counts.items():
+        if count < threshold:
+            continue
+        if not lca:
+            agg[lca] += count
+        while lca:
+            agg[lca] += count
+            lca = lca[:-1]
+    want = {(";".join(l), len(l)): c for l, c in agg.items()}
+    assert got == want
+    # classify is UNWEIGHTED by design even when abunds are present
+    # (gather_assignments ignores counts)
+    flat = q_df.drop("abunds")
+    a = lca_ops.classify(
+        q_df, db_df, lca_ops.lineage_array(lin_df, RANKS),
+        n_ranks=len(RANKS), threshold=2,
+    ).collect()
+    b = lca_ops.classify(
+        flat, db_df, lca_ops.lineage_array(lin_df, RANKS),
+        n_ranks=len(RANKS), threshold=2,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
