@@ -79,11 +79,23 @@ def main() -> None:
         return pair_agg(a, b).count()
 
     def grouped():
-        from sourmash_spark.operators.compare import grouped_pair_counts
-
-        return grouped_pair_counts(
-            postings(), ["hashval"], sig_id, size_col="n_hashes", df_cap=CAP
-        ).count()
+        # groupBy+collect_list+double-explode plan (the bake-off loser on
+        # mostly-unique keys; kept here for re-measurement)
+        p = postings()
+        g = p.groupBy("hashval").agg(
+            F.collect_list(
+                F.struct(F.col(sig_id).alias("i"), F.col("n_hashes").alias("s"))
+            ).alias("_ids")
+        )
+        pairs = (
+            g.filter((F.size("_ids") >= 2) & (F.size("_ids") <= CAP))
+            .select(F.explode("_ids").alias("_a"), "_ids")
+            .select("_a", F.explode("_ids").alias("_b"))
+            .filter(F.col("_a.i") < F.col("_b.i"))
+            .groupBy(F.col("_a.i").alias("id_a"), F.col("_b.i").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        return pairs.count()
 
     def anti():
         p = postings()
