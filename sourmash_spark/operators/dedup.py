@@ -135,16 +135,33 @@ def ngram_jaccard_pairs(
     full, so capped jaccard lower-bounds true jaccard (a boilerplate gram
     never creates O(df^2) pair rows nor inflates similarity).  Lineage:
     compare.df_cap_stats(grams, df_cap, key="gram")."""
-    gram = F.explode(
-        F.array_distinct(docops.word_ngrams(F.col(text_col), n))
-    ).alias("gram")
-    grams = docs.select(F.col(id_col), gram)
-    if hash_grams:
-        grams = grams.select(id_col, F.xxhash64("gram").alias("gram"))
     from .compare import cap_postings
 
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    g = cap_postings(grams, ["gram"], df_cap).join(sizes, id_col)
+    # per-doc gram count rides the explode as a struct field — no separate
+    # count aggregation, no sizes join.  let-binding is load-bearing:
+    # HOF expressions are excluded from Spark CSE AND CollapseProject
+    # re-inlines adjacent projections, so a naive size(arr)+explode(arr)
+    # re-evaluates the gram array per output row (measured 15x slower);
+    # binding it as a lambda variable evaluates it once per document.
+    arr = F.array_distinct(docops.word_ngrams(F.col(text_col), n))
+    kv = docops.let(
+        arr,
+        lambda a: F.transform(
+            a,
+            lambda x: F.struct(
+                x.alias("gram"), F.size(a).cast("long").alias("n_grams")
+            ),
+        ),
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(kv).alias("_kv")
+    ).select(id_col, F.col("_kv.n_grams").alias("n_grams"),
+             F.col("_kv.gram").alias("gram"))
+    if hash_grams:
+        grams = grams.select(
+            id_col, "n_grams", F.xxhash64("gram").alias("gram")
+        )
+    g = cap_postings(grams, ["gram"], df_cap)
     a = g.select(
         F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"),
         "gram",
