@@ -181,9 +181,14 @@ def main() -> None:
     )
     from sourmash_spark.operators.ann import semantic_dedup
 
+    # n_cells grows with the table so per-cell population (and the
+    # within-cell pair volume) stays ~constant — the operator's documented
+    # scale knob; a fixed cell count at 10x data costs 10x pairs per cell
+    n_aug = aug.count()
+    sd_cells = max(16, n_aug // 128)
     timed(
         "semantic_dedup",
-        lambda: semantic_dedup(aug, n_cells=16, eps=0.9).count(),
+        lambda: semantic_dedup(aug, n_cells=sd_cells, eps=0.9).count(),
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")

@@ -580,21 +580,42 @@ def semantic_dedup(
     cells = ivf_assign(embs, centroids, id_col, vec_col, n_probe=1).select(
         id_col, "cell"
     )
-    v = embs.select(F.col(id_col), F.col(vec_col)).join(cells, id_col)
+    # norm precomputed ONCE per vector: the pair stage then runs ONE fold
+    # (the dot) instead of three — cosine = dot/(sqrt(ssa)*sqrt(ssb))
+    # factors exactly, so values stay bit-identical to
+    # docops.cosine_similarity (the oracle's formula)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    v = embs.select(
+        F.col(id_col), F.col(vec_col), nrm.alias("_n")
+    ).join(cells, id_col)
     a = v.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "cell"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"), "cell",
     )
     b = v.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "cell"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"), "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_va"), F.col("_vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(
-                docops.cosine_similarity(F.col("_va"), F.col("_vb")), 6
-            ),
+            F.round(dot / (F.col("_na") * F.col("_nb")), 6),
         )
         .filter(F.col("cosine") >= eps)
     )
