@@ -396,6 +396,65 @@ def ivf_assign(
     )
 
 
+def ivf_assign_literal(
+    embs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+) -> DataFrame:
+    """ivf_assign as a NARROW PROJECTION: the codebook is collected to the
+    driver (it is small by definition) and rendered as a JVM-parsed plan
+    literal, so assignment is `transform` over the literal matrix + a
+    sorted take-k — no crossJoin, no shuffle, no window.  Per-element math
+    and the (distance, cell) tie-break match `ivf_assign` exactly (same
+    fold grouping, `array_sort` on struct<d,cell> sorts lexicographically),
+    so the two paths are interchangeable bit-for-bit."""
+    rows = sorted(
+        (
+            (int(r["cell"]), [float(x) for x in r[vec_col]])
+            for r in centroids.select("cell", vec_col).collect()
+        ),
+    )
+    mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(x) for x in v) + ")" for _, v in rows
+        )
+        + ")"
+    )
+    cell_ids = F.expr(
+        "array(" + ",".join(str(c) for c, _ in rows) + ")"
+    )
+    dists = F.transform(
+        mat,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    probes = F.slice(
+        F.array_sort(
+            F.arrays_zip(dists.alias("d"), cell_ids.alias("cell"))
+        ),
+        1,
+        n_probe,
+    )
+    return embs.select(
+        F.col(id_col), F.posexplode(probes).alias("_i", "_p")
+    ).select(
+        id_col,
+        F.col("_p.cell").alias("cell"),
+        (F.col("_i") + 1).cast("int").alias("cell_rank"),
+    )
+
+
 def ivf_topk(
     embs: DataFrame,
     queries: DataFrame,
@@ -414,15 +473,16 @@ def ivf_topk(
     `centroids` defaults to the vectors with id < n_cells — a deterministic
     seed codebook (callers at scale supply an offline-trained one, e.g.
     sampled k-means; the operator only needs SOME small centroid dim).
-    Plan: one broadcast assign per side, candidates via equi-join on cell —
-    never a corpus cross join; expected candidate fraction ~ n_probe /
-    n_cells of the corpus."""
+    Plan: assignment is a NARROW projection against the plan-literal
+    codebook (ivf_assign_literal — no crossJoin, no shuffle, no window);
+    candidates via equi-join on cell — never a corpus cross join; expected
+    candidate fraction ~ n_probe / n_cells of the corpus."""
     if centroids is None:
         centroids = embs.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"), vec_col
         )
-    corpus_cells = ivf_assign(embs, centroids, id_col, vec_col, n_probe=1)
-    query_cells = ivf_assign(
+    corpus_cells = ivf_assign_literal(embs, centroids, id_col, vec_col, n_probe=1)
+    query_cells = ivf_assign_literal(
         queries.withColumnRenamed(query_id, id_col),
         centroids, id_col, vec_col, n_probe=n_probe,
     ).withColumnRenamed(id_col, query_id)
@@ -577,9 +637,9 @@ def semantic_dedup(
         centroids = embs.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"), vec_col
         )
-    cells = ivf_assign(embs, centroids, id_col, vec_col, n_probe=1).select(
-        id_col, "cell"
-    )
+    cells = ivf_assign_literal(
+        embs, centroids, id_col, vec_col, n_probe=1
+    ).select(id_col, "cell")
     # norm precomputed ONCE per vector: the pair stage then runs ONE fold
     # (the dot) instead of three — cosine = dot/(sqrt(ssa)*sqrt(ssb))
     # factors exactly, so values stay bit-identical to

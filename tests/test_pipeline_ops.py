@@ -107,3 +107,33 @@ def test_quality_filter_job_partitions_input(spark, tmp_path):
     assert lin.groupBy("doc_id").count().filter("count > 1").count() == 0
     stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
     assert stages <= {"exact_dup", "gopher_quality", "decontaminate"}
+
+
+def test_ivf_assign_literal_matches_join_path(spark):
+    """The plan-literal codebook assignment (narrow projection) is
+    bit-for-bit interchangeable with the broadcast-crossJoin path,
+    including the (distance, cell) tie-break, at n_probe 1 and 2."""
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(60, 8)
+    embs = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(c, vecs[c].tolist()) for c in range(6)],
+        "cell long, embedding array<double>",
+    )
+    for n_probe in (1, 2):
+        a = {
+            (r["vec_id"], r["cell"], r["cell_rank"])
+            for r in ann_ops.ivf_assign(
+                embs, cents, n_probe=n_probe
+            ).collect()
+        }
+        b = {
+            (r["vec_id"], r["cell"], r["cell_rank"])
+            for r in ann_ops.ivf_assign_literal(
+                embs, cents, n_probe=n_probe
+            ).collect()
+        }
+        assert a == b, n_probe
