@@ -104,10 +104,15 @@ def batch_sketch(
     hashes = all_hashes[valid[: all_hashes.size]]
 
     out: list[tuple[np.ndarray, np.ndarray]] = []
-    bounds = np.concatenate([[0], np.cumsum(n_windows)])
+    # Slice by CUMULATIVE VALID count, not raw window count: the DNA branch
+    # drops non-ACGT windows from `hashes` in addition to the boundary
+    # crossers, so a doc's hash count can be < n_windows[i].  cv[p] = number
+    # of surviving windows strictly before concatenation window p.
+    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
     max_hash = np.uint64(params.max_hash) if params.scaled else None
     for i in range(len(lens)):
-        h = hashes[bounds[i] : bounds[i + 1]]
+        lo = int(starts[i])
+        h = hashes[cv[lo] : cv[lo + int(n_windows[i])]]
         if params.scaled:
             h = h[h <= max_hash]
         uniq, counts = np.unique(h, return_counts=True)

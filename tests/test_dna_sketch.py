@@ -101,3 +101,38 @@ def test_spark_dna_sketch_path(spark):
         want = _published(name, 21)
         assert out[i]["md5"] == want["md5sum"], name
         assert out[i]["n_hashes"] == 500
+
+
+def test_batched_dna_with_invalid_bases_matches_solo():
+    """Regression (r4): batching docs containing non-ACGT bytes must give
+    each doc the SAME sketch it gets alone.  Before the fix, per-doc slicing
+    used raw window counts while the DNA branch also drops invalid-base
+    windows, shifting every doc after the first N."""
+    p = SketchParams(ksize=5, scaled=1, num=0, seed=42, moltype="DNA")
+    docs = [
+        "ACGTANCGTACGT",          # one N mid-doc
+        "GGGGCCCCAAAATTTT",       # clean
+        "NNNNN",                  # all invalid -> empty sketch
+        "ACGTACGTNNACGTACGT",     # two Ns
+        "TTTTGGGGACGT",           # clean
+    ]
+    batched = batch_sketch(pd.Series(docs), p)
+    for doc, (h_b, a_b) in zip(docs, batched):
+        (h_s, a_s), = batch_sketch(pd.Series([doc]), p)
+        assert h_b.tolist() == h_s.tolist(), doc
+        assert a_b.tolist() == a_s.tolist(), doc
+    assert batched[2][0].size == 0  # NNNNN has no valid window
+
+
+def test_batched_dna_invalid_bases_with_abundance_and_scaled():
+    """Same regression through the scaled + track_abundance path."""
+    p = SketchParams(
+        ksize=4, scaled=1, num=0, seed=42, moltype="DNA",
+        track_abundance=True,
+    )
+    docs = ["ACGTNACGTACGTN", "CCCCGGGG", "ANCNGNTN", "ACGTACGT"]
+    batched = batch_sketch(pd.Series(docs), p)
+    for doc, got in zip(docs, batched):
+        (h_s, a_s), = batch_sketch(pd.Series([doc]), p)
+        assert got[0].tolist() == h_s.tolist(), doc
+        assert got[1].tolist() == a_s.tolist(), doc
