@@ -27,6 +27,7 @@ handled by AQE skew-join on the bucket join.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
@@ -369,6 +370,12 @@ def _sqdist(a: str, b: str) -> F.Column:
     )
 
 
+# Upper bound on codebook size (cells × dim) for the plan-literal IVF
+# assignment path: ~1M doubles renders to a ~20 MB plan string — well past
+# useful; beyond this the join path (one broadcast of the same data) wins.
+MAX_LITERAL_CODEBOOK_ELEMS = 262_144
+
+
 def ivf_assign(
     embs: DataFrame,
     centroids: DataFrame,
@@ -409,13 +416,25 @@ def ivf_assign_literal(
     sorted take-k — no crossJoin, no shuffle, no window.  Per-element math
     and the (distance, cell) tie-break match `ivf_assign` exactly (same
     fold grouping, `array_sort` on struct<d,cell> sorts lexicographically),
-    so the two paths are interchangeable bit-for-bit."""
+    so the two paths are interchangeable bit-for-bit.
+
+    Guardrails (the literal path is an optimization, not a requirement):
+    non-finite centroid components would render as `inf`/`nan` — not valid
+    SQL literals — and the plan string grows as cells × dim, so codebooks
+    that are non-finite or larger than ``MAX_LITERAL_CODEBOOK_ELEMS``
+    fall back to the join-based ``ivf_assign`` (bit-identical results)."""
     rows = sorted(
         (
             (int(r["cell"]), [float(x) for x in r[vec_col]])
             for r in centroids.select("cell", vec_col).collect()
         ),
     )
+    n_elems = sum(len(v) for _, v in rows)
+    usable = n_elems <= MAX_LITERAL_CODEBOOK_ELEMS and all(
+        math.isfinite(x) for _, v in rows for x in v
+    )
+    if not usable:
+        return ivf_assign(embs, centroids, id_col, vec_col, n_probe)
     mat = F.expr(
         "array("
         + ",".join(

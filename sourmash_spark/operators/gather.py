@@ -358,25 +358,14 @@ def _gather_rows(
     return results, remaining
 
 
-def gather_unassigned(
+def _unassigned_df(
     spark: SparkSession,
-    db: DataFrame,
+    remaining: np.ndarray,
     query_hashes: list[int],
-    scaled: int,
-    ksize: int = 21,
-    threshold_bp: int = 0,
-    query_abunds: list[int] | None = None,
-    query_md5: str = "",
-    sig_id: str = "sig_id",
+    query_abunds: list[int] | None,
 ) -> DataFrame:
-    """The `--output-unassigned` surface (commands.py:1094-1112): the query
-    hashes left after the greedy loop, one row per hash with its abundance
-    (re-inflated from the original query like `minhash.inflate`, matching
-    the reference's `is_abundance` branch; abund=1 for flat queries)."""
-    _, remaining = _gather_rows(
-        db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
-        query_md5, sig_id, estimate_ani_ci=False,
-    )
+    """Remaining u64 hashes -> (hashval, abund) DataFrame, abundances
+    re-inflated from the original query (minhash.inflate semantics)."""
     if query_abunds is not None:
         amap = dict(
             zip(
@@ -396,6 +385,32 @@ def gather_unassigned(
         pd.DataFrame(rows, columns=["hashval", "abund"]),
         schema="hashval long, abund long",
     )
+
+
+def gather_unassigned(
+    spark: SparkSession,
+    db: DataFrame,
+    query_hashes: list[int],
+    scaled: int,
+    ksize: int = 21,
+    threshold_bp: int = 0,
+    query_abunds: list[int] | None = None,
+    query_md5: str = "",
+    sig_id: str = "sig_id",
+) -> DataFrame:
+    """The `--output-unassigned` surface (commands.py:1094-1112): the query
+    hashes left after the greedy loop, one row per hash with its abundance
+    (re-inflated from the original query like `minhash.inflate`, matching
+    the reference's `is_abundance` branch; abund=1 for flat queries).
+
+    Callers that also need the GatherResult rows should use
+    ``gather_with_unassigned`` — it runs the prefetch + greedy sweep ONCE
+    for both outputs instead of twice."""
+    _, remaining = _gather_rows(
+        db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
+        query_md5, sig_id, estimate_ani_ci=False,
+    )
+    return _unassigned_df(spark, remaining, query_hashes, query_abunds)
 
 
 def gather(
@@ -420,6 +435,12 @@ def gather(
         db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
         query_md5, sig_id, estimate_ani_ci,
     )
+    return _results_df(spark, results, estimate_ani_ci)
+
+
+def _results_df(
+    spark: SparkSession, results: list[dict], estimate_ani_ci: bool
+) -> DataFrame:
     cols = list(GATHER_COLS)
     schema = (
         "intersect_bp long, f_orig_query double, f_match double, "
@@ -445,3 +466,31 @@ def gather(
         )
     pdf = pd.DataFrame(results, columns=cols)
     return spark.createDataFrame(pdf, schema=schema)
+
+
+def gather_with_unassigned(
+    spark: SparkSession,
+    db: DataFrame,
+    query_hashes: list[int],
+    scaled: int,
+    ksize: int = 21,
+    threshold_bp: int = 0,
+    query_abunds: list[int] | None = None,
+    query_md5: str = "",
+    sig_id: str = "sig_id",
+    estimate_ani_ci: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The reference CLI's `gather --output-unassigned` shape: BOTH the
+    GatherResult rows and the leftover-hash table from a SINGLE prefetch +
+    candidate-fetch + greedy sweep (commands.py:1034-1112).  Identical to
+    calling `gather()` and `gather_unassigned()` separately, at half the
+    driver-side cost — the expensive part (prefetch scan, candidate hash
+    collect, greedy rounds) is never repeated."""
+    results, remaining = _gather_rows(
+        db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
+        query_md5, sig_id, estimate_ani_ci,
+    )
+    return (
+        _results_df(spark, results, estimate_ani_ci),
+        _unassigned_df(spark, remaining, query_hashes, query_abunds),
+    )

@@ -189,3 +189,39 @@ def test_gather_unassigned_remainder(spark, sigs, oracle_sketches):
     amap = dict(zip(hashes, abunds))
     for r in un:
         assert r["abund"] == amap[r["hashval"]]
+
+
+def test_gather_with_unassigned_matches_separate_calls(
+    spark, sigs, oracle_sketches
+):
+    """The combined entry point (one prefetch + greedy sweep) returns
+    exactly what gather() and gather_unassigned() return separately."""
+    from sourmash_spark.operators.gather import (
+        gather_unassigned, gather_with_unassigned,
+    )
+
+    mh = oracle_sketches[0].copy()
+    mh.merge(oracle_sketches[30])
+    # a few low hashes no db sketch contains -> guaranteed remainder
+    qh = u64_to_i64(np.array(mh.mins + [11, 13, 17], dtype=np.uint64)).tolist()
+    min_bp = PARAMS.scaled * 3
+
+    both_res, both_un = gather_with_unassigned(
+        spark, sigs, qh, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+        threshold_bp=min_bp,
+    )
+    solo_res = gather(
+        spark, sigs, qh, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+        threshold_bp=min_bp,
+    )
+    solo_un = gather_unassigned(
+        spark, sigs, qh, scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+        threshold_bp=min_bp,
+    )
+    assert sorted(map(tuple, both_res.collect())) == sorted(
+        map(tuple, solo_res.collect())
+    )
+    assert sorted(map(tuple, both_un.collect())) == sorted(
+        map(tuple, solo_un.collect())
+    )
+    assert both_un.count() > 0  # composite query leaves a remainder here

@@ -137,3 +137,48 @@ def test_ivf_assign_literal_matches_join_path(spark):
             ).collect()
         }
         assert a == b, n_probe
+
+
+def test_ivf_assign_literal_guardrails_fall_back(spark):
+    """Non-finite centroid components or an oversized codebook make the
+    literal path silently fall back to the join path (same results) rather
+    than rendering an unparseable / multi-MB plan string."""
+    import sourmash_spark.operators.ann as ann_mod
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(20, 4)
+    embs = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    bad = spark.createDataFrame(
+        [(0, vecs[0].tolist()), (1, [float("nan"), 0.0, 0.0, 0.0]),
+         (2, [float("inf"), 1.0, 1.0, 1.0])],
+        "cell long, embedding array<double>",
+    )
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in ann_ops.ivf_assign_literal(embs, bad).collect()
+    }
+    # NaN distances rank last under the join path's orderBy; every vector
+    # still gets an assignment and the call does not raise
+    assert len(got) == 20
+
+    good = spark.createDataFrame(
+        [(c, vecs[c].tolist()) for c in range(3)],
+        "cell long, embedding array<double>",
+    )
+    old = ann_mod.MAX_LITERAL_CODEBOOK_ELEMS
+    try:
+        ann_mod.MAX_LITERAL_CODEBOOK_ELEMS = 4  # force size fallback
+        a = {
+            (r["vec_id"], r["cell"], r["cell_rank"])
+            for r in ann_ops.ivf_assign_literal(embs, good, n_probe=2).collect()
+        }
+    finally:
+        ann_mod.MAX_LITERAL_CODEBOOK_ELEMS = old
+    b = {
+        (r["vec_id"], r["cell"], r["cell_rank"])
+        for r in ann_ops.ivf_assign(embs, good, n_probe=2).collect()
+    }
+    assert a == b
