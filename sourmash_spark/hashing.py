@@ -359,3 +359,110 @@ def i64_to_u64(h):
     if isinstance(h, np.ndarray):
         return h.astype(np.int64).view(np.uint64)
     return h + (1 << 64) if h < 0 else h
+
+
+# ---------------------------------------------------------------------------
+# Protein-family encodings: codon translation, dayhoff, hp
+# ---------------------------------------------------------------------------
+
+# Standard codon table incl. the reference's third-position-N wildcard rows
+# (encodings.rs:103-228 CODONTABLE); unknown codons translate to 'X'
+# (encodings.rs:314-339 translate_codon).
+_CODON_TABLE = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L",
+    "TCT": "S", "TCC": "S", "TCA": "S", "TCG": "S", "TCN": "S",
+    "TAT": "Y", "TAC": "Y", "TAA": "*", "TAG": "*",
+    "TGA": "*", "TGT": "C", "TGC": "C", "TGG": "W",
+    "CTT": "L", "CTC": "L", "CTA": "L", "CTG": "L", "CTN": "L",
+    "CCT": "P", "CCC": "P", "CCA": "P", "CCG": "P", "CCN": "P",
+    "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q",
+    "CGT": "R", "CGC": "R", "CGA": "R", "CGG": "R", "CGN": "R",
+    "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M",
+    "ACT": "T", "ACC": "T", "ACA": "T", "ACG": "T", "ACN": "T",
+    "AAT": "N", "AAC": "N", "AAA": "K", "AAG": "K",
+    "AGT": "S", "AGC": "S", "AGA": "R", "AGG": "R",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V", "GTN": "V",
+    "GCT": "A", "GCC": "A", "GCA": "A", "GCG": "A", "GCN": "A",
+    "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G", "GGN": "G",
+}
+
+# Dayhoff 6-group compression (encodings.rs:230-280 DAYHOFFTABLE);
+# unmapped residues -> 'X' (encodings.rs:342-348 aa_to_dayhoff).
+_DAYHOFF = {
+    "C": "a",
+    "A": "b", "G": "b", "P": "b", "S": "b", "T": "b",
+    "D": "c", "E": "c", "N": "c", "Q": "c",
+    "H": "d", "K": "d", "R": "d",
+    "I": "e", "L": "e", "M": "e", "V": "e",
+    "F": "f", "W": "f", "Y": "f",
+    "*": "*",
+}
+
+# Hydrophobic/polar 2-group compression (encodings.rs:282-312 HPTABLE).
+_HP = {
+    **{c: "h" for c in "AFGILMPVWY"},
+    **{c: "p" for c in "NCSTDERHKQ"},
+    "*": "*",
+}
+
+# base -> index over the 6-symbol alphabet {A,C,G,T,N,other}; codon value
+# i0*36+i1*6+i2 indexes a 216-entry codon->aa table ('X' default)
+_BASE6 = np.full(256, 5, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGTN"):
+    _BASE6[_c] = _i
+
+_CODON_AA = np.full(216, ord("X"), dtype=np.uint8)
+for _codon, _aa in _CODON_TABLE.items():
+    _i0, _i1, _i2 = (_BASE6[ord(_ch)] for _ch in _codon)
+    _CODON_AA[int(_i0) * 36 + int(_i1) * 6 + int(_i2)] = ord(_aa)
+
+_DAYHOFF_TAB = np.full(256, ord("X"), dtype=np.uint8)
+for _aa, _grp in _DAYHOFF.items():
+    _DAYHOFF_TAB[ord(_aa)] = ord(_grp)
+
+_HP_TAB = np.full(256, ord("X"), dtype=np.uint8)
+for _aa, _grp in _HP.items():
+    _HP_TAB[ord(_aa)] = ord(_grp)
+
+PROTEIN_MOLTYPES = ("protein", "dayhoff", "hp")
+
+
+def aa_encode(arr: np.ndarray, moltype: str) -> np.ndarray:
+    """Map an amino-acid uint8 buffer through the moltype's residue table:
+    identity for 'protein', 6-group for 'dayhoff', 2-group for 'hp'
+    (signature.rs:373-392 — the reference maps raw residue bytes with NO
+    case normalization; unmapped bytes become 'X')."""
+    m = moltype.lower()
+    if m == "protein":
+        return arr
+    if m == "dayhoff":
+        return _DAYHOFF_TAB[arr]
+    if m == "hp":
+        return _HP_TAB[arr]
+    raise ValueError(f"not a protein-family moltype: {moltype}")
+
+
+def translate_frames(arr: np.ndarray, moltype: str) -> list[np.ndarray]:
+    """Six-frame DNA->amino-acid translation of a uint8 DNA buffer: three
+    forward frames plus three frames of the reverse complement, each
+    translated codon-by-codon with incomplete trailing codons dropped —
+    exactly the reference's translate loop (signature.rs:307-351 driving
+    encodings.rs:351-368 `to_aa`).  Codons containing bytes outside
+    {A,C,G,T,N} or N-combinations absent from the wildcard rows translate
+    to 'X'; the complement of a non-ACGTN byte is byte 0 (encodings.rs:
+    85-101), which also lands on 'X'.  Returns 6 uint8 aa arrays already
+    passed through the moltype's residue encoding."""
+    rc = DNA_COMPLEMENT[arr[::-1]]
+    out: list[np.ndarray] = []
+    for src in (arr, rc):
+        for frame in range(3):
+            sub = src[frame:]
+            n = sub.size // 3
+            if n == 0:
+                out.append(np.empty(0, dtype=np.uint8))
+                continue
+            cod = _BASE6[sub[: 3 * n]].reshape(-1, 3).astype(np.int64)
+            aa = _CODON_AA[cod[:, 0] * 36 + cod[:, 1] * 6 + cod[:, 2]]
+            out.append(aa_encode(aa, moltype))
+    return out

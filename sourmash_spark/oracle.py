@@ -85,6 +85,45 @@ class MinHash:
         for i in range(len(data) - self.ksize + 1):
             self.add_hash(hash_murmur(data[i : i + self.ksize], self.seed))
 
+    def add_protein(self, text: str | bytes) -> None:
+        """Amino-acid path: map each residue through the moltype's table
+        (identity / dayhoff / hp; no case normalization, unmapped -> 'X'),
+        slide a ksize-residue window, murmur64 each
+        (signature.rs:362-392, encodings.rs:342-348)."""
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        aa = "".join(
+            _ORACLE_AA_MAP[self.moltype.lower()](chr(b)) for b in text
+        ).encode("latin-1")
+        for i in range(len(aa) - self.ksize + 1):
+            self.add_hash(hash_murmur(aa[i : i + self.ksize], self.seed))
+
+    def add_sequence_translate(self, text: str | bytes) -> None:
+        """DNA path for protein-family sketches: uppercase, translate all
+        SIX frames (3 forward + 3 of the reverse complement) codon-by-codon
+        with incomplete trailing codons dropped and unknown codons -> 'X',
+        then hash every ksize-residue window of every frame
+        (signature.rs:307-351, encodings.rs:351-368)."""
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        data = bytes(b - 32 if 97 <= b <= 122 else b for b in text)
+        rc = "".join(
+            _ORACLE_COMPLEMENT.get(chr(b), "\0") for b in reversed(data)
+        ).encode("latin-1")
+        for src in (data, rc):
+            for frame in range(3):
+                aa = []
+                for i in range(frame, len(src) - 2, 3):
+                    codon = src[i : i + 3].decode("latin-1")
+                    aa.append(_ORACLE_CODONS.get(codon, "X"))
+                enc = "".join(
+                    _ORACLE_AA_MAP[self.moltype.lower()](a) for a in aa
+                ).encode()
+                for i in range(len(enc) - self.ksize + 1):
+                    self.add_hash(
+                        hash_murmur(enc[i : i + self.ksize], self.seed)
+                    )
+
     # -- accessors ----------------------------------------------------------
 
     @property
@@ -107,7 +146,12 @@ class MinHash:
         return out
 
     def md5sum(self) -> str:
-        md5_ksize = self.ksize * 3 if self.moltype == "code" else self.ksize
+        # code and the protein family store ksize*3 (minhash.py:237-247)
+        md5_ksize = (
+            self.ksize * 3
+            if self.moltype in ("code", "protein", "dayhoff", "hp")
+            else self.ksize
+        )
         ctx = hashlib.md5()
         ctx.update(str(md5_ksize).encode())
         for m in self.mins:
@@ -289,6 +333,43 @@ class MinHash:
         return (self.sum_abundances() / len(self._abund)) if self._abund else 0.0
 
 
+# Scalar translation tables for the oracle — built independently from the
+# standard genetic code (same published source as encodings.rs:103-312), on
+# purpose NOT shared with hashing.py's vectorized numpy tables so the two
+# implementations cross-check each other.
+_ORACLE_CODONS: dict[str, str] = {}
+for _aa, _codons in {
+    "F": "TTT TTC", "L": "TTA TTG CTT CTC CTA CTG CTN",
+    "S": "TCT TCC TCA TCG TCN AGT AGC", "Y": "TAT TAC",
+    "*": "TAA TAG TGA", "C": "TGT TGC", "W": "TGG",
+    "P": "CCT CCC CCA CCG CCN", "H": "CAT CAC", "Q": "CAA CAG",
+    "R": "CGT CGC CGA CGG CGN AGA AGG", "I": "ATT ATC ATA", "M": "ATG",
+    "T": "ACT ACC ACA ACG ACN", "N": "AAT AAC", "K": "AAA AAG",
+    "V": "GTT GTC GTA GTG GTN", "A": "GCT GCC GCA GCG GCN",
+    "D": "GAT GAC", "E": "GAA GAG", "G": "GGT GGC GGA GGG GGN",
+}.items():
+    for _c in _codons.split():
+        _ORACLE_CODONS[_c] = _aa
+
+_ORACLE_DAYHOFF = {
+    "C": "a", "A": "b", "G": "b", "P": "b", "S": "b", "T": "b",
+    "D": "c", "E": "c", "N": "c", "Q": "c", "H": "d", "K": "d", "R": "d",
+    "I": "e", "L": "e", "M": "e", "V": "e", "F": "f", "W": "f", "Y": "f",
+    "*": "*",
+}
+_ORACLE_HP = dict(
+    [(c, "h") for c in "AFGILMPVWY"]
+    + [(c, "p") for c in "NCSTDERHKQ"]
+    + [("*", "*")]
+)
+_ORACLE_AA_MAP = {
+    "protein": lambda a: a,
+    "dayhoff": lambda a: _ORACLE_DAYHOFF.get(a, "X"),
+    "hp": lambda a: _ORACLE_HP.get(a, "X"),
+}
+_ORACLE_COMPLEMENT = {"A": "T", "T": "A", "C": "G", "G": "C", "N": "N"}
+
+
 def sketch_text(text: str, params: SketchParams) -> MinHash:
     mh = MinHash(
         ksize=params.ksize,
@@ -298,5 +379,11 @@ def sketch_text(text: str, params: SketchParams) -> MinHash:
         moltype=params.moltype,
         track_abundance=params.track_abundance,
     )
-    mh.add_sequence(text)
+    if params.is_protein_family:
+        if params.translate:
+            mh.add_sequence_translate(text)
+        else:
+            mh.add_protein(text)
+    else:
+        mh.add_sequence(text)
     return mh

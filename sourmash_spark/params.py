@@ -18,18 +18,30 @@ from .hashing import DEFAULT_SEED, max_hash_for_scaled
 
 @dataclass(frozen=True)
 class SketchParams:
-    ksize: int = 21          # shingle window in characters
+    ksize: int = 21          # shingle window in characters (AA units for
+                             # the protein family — the reference CLI's k
+                             # is 3x this and that 3x value is what the
+                             # stored sketch reports, minhash.py:237-247)
     scaled: int = 200        # FracMinHash downsampling factor (0 => num mode)
     num: int = 0             # bottom-k size (0 => scaled mode)
     seed: int = DEFAULT_SEED
-    moltype: str = "code"
+    moltype: str = "code"    # code | DNA | protein | dayhoff | hp
     track_abundance: bool = False
+    translate: bool = False  # protein family only: input column is DNA,
+                             # 6-frame translate before hashing (the
+                             # reference's `sketch translate`)
 
     def __post_init__(self):
         if self.num and self.scaled:
             raise ValueError("num and scaled are mutually exclusive")
         if not self.num and not self.scaled:
             raise ValueError("one of num/scaled is required")
+        if self.translate and not self.is_protein_family:
+            raise ValueError("translate requires a protein-family moltype")
+
+    @property
+    def is_protein_family(self) -> bool:
+        return self.moltype.lower() in ("protein", "dayhoff", "hp")
 
     @property
     def max_hash(self) -> int:
@@ -40,8 +52,12 @@ class SketchParams:
         """ksize as it appears in the sketch identity hash.  The reference's
         protein path stores ksize*3 in the underlying sketch object (python
         multiplies by 3 before FFI; minhash.py:237-247), and md5sum() writes
-        that stored value — we mirror it for the 'code' moltype."""
-        return self.ksize * 3 if self.moltype == "code" else self.ksize
+        that stored value — we mirror it for 'code' and the protein family
+        (protein/dayhoff/hp), whose published .sig files report the 3x
+        value (e.g. benchmark.input_prot.sig: ksize 21 for a 7-AA window)."""
+        if self.moltype == "code" or self.is_protein_family:
+            return self.ksize * 3
+        return self.ksize
 
     def config_hash(self) -> str:
         """Stable identity of this configuration — keys checkpoint tables."""
@@ -53,6 +69,7 @@ class SketchParams:
                 "seed": self.seed,
                 "moltype": self.moltype,
                 "abund": self.track_abundance,
+                "translate": self.translate,
             },
             sort_keys=True,
         )

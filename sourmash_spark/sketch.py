@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
-from .hashing import canonical_dna_windows, murmur64_fixed
+from .hashing import (
+    PROTEIN_MOLTYPES,
+    aa_encode,
+    canonical_dna_windows,
+    murmur64_fixed,
+    translate_frames,
+)
 from .params import SketchParams
 
 SKETCH_FIELDS = [
@@ -45,6 +51,62 @@ SKETCH_FIELDS = [
 ]
 
 
+def _segment_window_hashes(
+    segments: list[np.ndarray], k: int, seed: int, dna: bool = False
+) -> list[np.ndarray]:
+    """Per-segment u64 window hashes from ONE concatenated murmur pass.
+
+    All segments are joined into a single buffer, EVERY window of the
+    buffer is hashed vectorized (boundary-crossing ones included — ~k
+    extra per segment, <2% waste), then crossers are dropped by mask:
+    masking 8-byte hashes beats gathering k-byte windows.  With
+    ``dna=True`` windows are canonical min(kmer, revcomp) and windows
+    containing non-ACGT bases are additionally dropped (signature.rs:
+    268-306 / force=True)."""
+    empty = np.empty(0, np.uint64)
+    if not segments:
+        return []
+    lens = np.array([s.size for s in segments], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    ends = np.cumsum(lens)
+    n_windows = np.maximum(lens - k + 1, 0)
+    if int(lens.sum()) < k or int(n_windows.sum()) == 0:
+        return [empty] * len(segments)
+    arr = segments[0] if len(segments) == 1 else np.concatenate(segments)
+
+    if dna:
+        windows, dna_valid = canonical_dna_windows(arr, k)
+        all_hashes = murmur64_fixed(windows, seed)
+        valid = dna_valid.copy()
+    else:
+        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+        all_hashes = murmur64_fixed(windows, seed)
+        valid = np.ones(windows.shape[0], dtype=bool)
+    for i in range(len(lens) - 1):  # windows starting in the k-1 tail bytes
+        lo = max(int(ends[i]) - (k - 1), int(starts[i]))
+        valid[lo : int(ends[i])] = False
+    # also windows starting inside a segment too short for one full window
+    short = n_windows == 0
+    if short.any():
+        for i in np.nonzero(short)[0]:
+            valid[int(starts[i]) : int(ends[i])] = False
+    hashes = all_hashes[valid[: all_hashes.size]]
+
+    # Slice by CUMULATIVE VALID count, not raw window count: the DNA branch
+    # drops non-ACGT windows from `hashes` in addition to the boundary
+    # crossers, so a segment's hash count can be < n_windows[i].  cv[p] =
+    # number of surviving windows strictly before concatenation window p.
+    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
+    out = []
+    for i in range(len(lens)):
+        # clamp: a segment starting inside the buffer's k-1 tail has byte
+        # offsets past the last window index (cv is indexed by window)
+        lo = min(int(starts[i]), cv.size - 1)
+        hi = min(lo + int(n_windows[i]), cv.size - 1)
+        out.append(hashes[cv[lo] : cv[hi]])
+    return out
+
+
 def batch_sketch(
     contents: pd.Series, params: SketchParams
 ) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -52,6 +114,20 @@ def batch_sketch(
 
     Returns per-row (hashes_u64_sorted, abunds) numpy arrays (unsigned order;
     abunds all-ones when track_abundance is off).
+
+    Moltype branches:
+    * ``code``: raw uppercased byte windows (reference protein hashing
+      applied to arbitrary text, signature.rs:366-370).
+    * ``DNA``: canonical min(kmer, revcomp) windows, invalid bases skipped.
+    * ``protein``/``dayhoff``/``hp`` with ``translate=False``: the input is
+      an amino-acid sequence; residues are mapped through the moltype's
+      table (identity / Dayhoff 6-group / HP 2-group) with NO case
+      normalization — the reference's add_protein hashes raw residue bytes
+      (signature.rs:362-392).
+    * same with ``translate=True``: the input is DNA; each doc is translated
+      in all SIX frames (3 forward + 3 reverse-complement, incomplete
+      trailing codons dropped, unknown codons -> 'X'; signature.rs:307-351)
+      and every frame's k-AA windows feed the same sketch.
     """
     k = params.ksize
     bufs = []
@@ -63,56 +139,37 @@ def batch_sketch(
     if not bufs:
         return []
     arr = np.frombuffer(b"".join(bufs), dtype=np.uint8).copy()
-    # ASCII-uppercase in place (reference normalization, signature.rs:214)
-    low = (arr >= 97) & (arr <= 122)
-    arr[low] -= 32
+    moltype = params.moltype.lower()
+    protein_direct = moltype in PROTEIN_MOLTYPES and not params.translate
+    if not protein_direct:
+        # ASCII-uppercase in place (reference DNA/text normalization,
+        # signature.rs:214); add_protein does NOT normalize case
+        low = (arr >= 97) & (arr <= 122)
+        arr[low] -= 32
 
     lens = np.asarray(lens, dtype=np.int64)
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    n_windows = np.maximum(lens - k + 1, 0)
+    doc_arrs = np.split(arr, np.cumsum(lens)[:-1])
 
-    if arr.size < k:
-        return [(np.empty(0, np.uint64), np.empty(0, np.int64)) for _ in lens]
-
-    total = int(n_windows.sum())
-    if total == 0:
-        return [(np.empty(0, np.uint64), np.empty(0, np.int64)) for _ in lens]
-    # hash EVERY window of the concatenated buffer (boundary-crossing ones
-    # included — ~k extra per doc, <2% waste), then drop the crossers by
-    # mask: masking 8-byte hashes beats gathering 21-byte windows.
-    if params.moltype.lower() == "dna":
-        # canonical branch: hash min(kmer, revcomp) per window and skip
-        # windows with non-ACGT bases (signature.rs:268-306 / force=True).
-        # Boundary-crossing windows are canonicalized too but masked below
-        # exactly like the code path.
-        windows, dna_valid = canonical_dna_windows(arr, k)
-        all_hashes = murmur64_fixed(windows, params.seed)
-        valid = dna_valid.copy()
+    if params.translate:
+        # 6 amino-acid segments per doc, all hashed in one pass
+        segments = [
+            seg for d in doc_arrs for seg in translate_frames(d, moltype)
+        ]
+        seg_hashes = _segment_window_hashes(segments, k, params.seed)
+        per_doc = [
+            np.concatenate(seg_hashes[6 * i : 6 * i + 6])
+            for i in range(len(doc_arrs))
+        ]
     else:
-        windows = np.lib.stride_tricks.sliding_window_view(arr, k)
-        all_hashes = murmur64_fixed(windows, params.seed)
-        valid = np.ones(windows.shape[0], dtype=bool)
-    ends = np.cumsum(lens)
-    for i in range(len(lens) - 1):  # windows starting in the k-1 tail bytes
-        lo = max(int(ends[i]) - (k - 1), int(starts[i]))
-        valid[lo : int(ends[i])] = False
-    # also windows starting inside a doc too short for one full window
-    short = n_windows == 0
-    if short.any():
-        for i in np.nonzero(short)[0]:
-            valid[int(starts[i]) : int(ends[i])] = False
-    hashes = all_hashes[valid[: all_hashes.size]]
+        if protein_direct:
+            doc_arrs = [aa_encode(d, moltype) for d in doc_arrs]
+        per_doc = _segment_window_hashes(
+            doc_arrs, k, params.seed, dna=moltype == "dna"
+        )
 
     out: list[tuple[np.ndarray, np.ndarray]] = []
-    # Slice by CUMULATIVE VALID count, not raw window count: the DNA branch
-    # drops non-ACGT windows from `hashes` in addition to the boundary
-    # crossers, so a doc's hash count can be < n_windows[i].  cv[p] = number
-    # of surviving windows strictly before concatenation window p.
-    cv = np.concatenate([[0], np.cumsum(valid, dtype=np.int64)])
     max_hash = np.uint64(params.max_hash) if params.scaled else None
-    for i in range(len(lens)):
-        lo = int(starts[i])
-        h = hashes[cv[lo] : cv[lo + int(n_windows[i])]]
+    for h in per_doc:
         if params.scaled:
             h = h[h <= max_hash]
         uniq, counts = np.unique(h, return_counts=True)

@@ -1,0 +1,207 @@
+"""Protein / dayhoff / hp sketching + 6-frame DNA translation, verified
+against REAL reference artifacts and the reference's own pinned values:
+
+* residue tables: dayhoff 'CADHIFC' -> hash('abcdefa'), hp 'ANA' ->
+  hash('hph') (reference tests/test_minhash.py:386-449);
+* end-to-end: sketching record 1 of ecoli.faa (input-is-protein, k=21 CLI
+  -> 7-AA windows, num=500, seed=42) reproduces the published mins and
+  md5sum of benchmark.input_prot.sig, and 6-frame-translating a record of
+  ecoli.genes.fna reproduces benchmark.prot.sig
+  (tests/test_sourmash_compute.py:896-938 use the same fixtures)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sourmash_spark.hashing import (
+    aa_encode,
+    hash_murmur,
+    translate_frames,
+)
+from sourmash_spark.params import SketchParams
+from sourmash_spark.sketch import batch_sketch, sketch_md5, sketch_signatures
+
+DATA = "/root/reference/tests/test-data"
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(f"{DATA}/ecoli.faa"),
+    reason="reference test-data not present",
+)
+
+
+def _fasta_records(path: str) -> dict[str, str]:
+    records: dict[str, list[str]] = {}
+    name = None
+    for line in open(path):
+        line = line.strip()
+        if line.startswith(">"):
+            name = line[1:]
+            records[name] = []
+        elif name is not None:
+            records[name].append(line)
+    return {n: "".join(parts) for n, parts in records.items()}
+
+
+def _published(path: str) -> dict:
+    doc = json.loads(open(path).read())
+    return [s for e in doc for s in e["signatures"]][0]
+
+
+def test_dayhoff_hp_pinned_kmers():
+    # dayhoff CADHIFC -> abcdefa, stop residue passes through
+    assert aa_encode(
+        np.frombuffer(b"CADHIFC", dtype=np.uint8), "dayhoff"
+    ).tobytes() == b"abcdefa"
+    assert aa_encode(
+        np.frombuffer(b"CADHIF*", dtype=np.uint8), "dayhoff"
+    ).tobytes() == b"abcdef*"
+    # hp ANA -> hph, AN* -> hp*
+    assert aa_encode(
+        np.frombuffer(b"ANA", dtype=np.uint8), "hp"
+    ).tobytes() == b"hph"
+    assert aa_encode(
+        np.frombuffer(b"AN*", dtype=np.uint8), "hp"
+    ).tobytes() == b"hp*"
+    # unmapped residues become X
+    assert aa_encode(
+        np.frombuffer(b"AZB", dtype=np.uint8), "dayhoff"
+    ).tobytes() == b"bXX"
+
+
+def test_sketch_matches_pinned_hashes():
+    # MinHash(0, 7, scaled=1, dayhoff=True).add_protein('CADHIFC') ->
+    # one hash == hash_murmur('abcdefa')  (test_minhash.py:386-395)
+    p = SketchParams(ksize=7, scaled=1, num=0, seed=42, moltype="dayhoff")
+    (h, _), = batch_sketch(pd.Series(["CADHIFC"]), p)
+    assert h.tolist() == [hash_murmur("abcdefa")]
+    # hp: ANA at k=3 -> hash('hph')  (test_minhash.py:433-440)
+    p = SketchParams(ksize=3, scaled=1, num=0, seed=42, moltype="hp")
+    (h, _), = batch_sketch(pd.Series(["ANA"]), p)
+    assert h.tolist() == [hash_murmur("hph")]
+
+
+def test_translate_frames_six_frame():
+    # ACTGAC: fwd frames TD / L / *; rc (GTCAGT) frames VS / S / Q
+    frames = translate_frames(
+        np.frombuffer(b"ACTGAC", dtype=np.uint8), "protein"
+    )
+    assert [f.tobytes() for f in frames] == [b"TD", b"L", b"*", b"VS", b"S", b"Q"]
+    # translated sketch at k=2 has exactly the 2-AA windows TD and VS
+    # (MinHash(10, 2, is_protein=True).add_sequence('ACTGAC') -> 2 hashes,
+    # test_minhash.py:253-262)
+    p = SketchParams(
+        ksize=2, scaled=1, num=0, seed=42, moltype="protein", translate=True
+    )
+    (h, _), = batch_sketch(pd.Series(["ACTGAC"]), p)
+    assert sorted(h.tolist()) == sorted(
+        [hash_murmur("TD"), hash_murmur("VS")]
+    )
+
+
+def test_translate_requires_protein_family():
+    with pytest.raises(ValueError):
+        SketchParams(ksize=7, scaled=1, moltype="code", translate=True)
+
+
+@needs_data
+def test_protein_sketch_reproduces_benchmark_input_prot():
+    recs = _fasta_records(f"{DATA}/ecoli.faa")
+    want = _published(f"{DATA}/benchmark.input_prot.sig")
+    # the known-good is record NP_414543.1 (first by sorted name)
+    name = sorted(recs)[0]
+    assert name.startswith("NP_414543.1")
+    p = SketchParams(ksize=7, scaled=0, num=500, seed=42, moltype="protein")
+    (h, _), = batch_sketch(pd.Series([recs[name]]), p)
+    assert want["ksize"] == 21 and p.md5_ksize == 21
+    assert h.tolist() == want["mins"]
+    assert sketch_md5(h, p.md5_ksize) == want["md5sum"]
+
+
+@needs_data
+def test_translate_sketch_reproduces_benchmark_prot():
+    recs = _fasta_records(f"{DATA}/ecoli.genes.fna")
+    want = _published(f"{DATA}/benchmark.prot.sig")
+    p = SketchParams(
+        ksize=7, scaled=0, num=500, seed=42, moltype="protein",
+        translate=True,
+    )
+    got = {
+        name: batch_sketch(pd.Series([seq]), p)[0][0]
+        for name, seq in recs.items()
+    }
+    matches = [n for n, h in got.items() if h.tolist() == want["mins"]]
+    assert len(matches) == 1
+    assert sketch_md5(got[matches[0]], p.md5_ksize) == want["md5sum"]
+
+
+def test_batched_protein_family_matches_solo():
+    """Batch slicing parity across all protein-family modes, including
+    docs with stop codons, unknown residues, and empty strings."""
+    docs = ["MIAAQLLAYYFTELKDDQVKKIDKYLYAMRLSD", "", "CADHIFC*X", "AN",
+            "QWERTYIPASDFGHKLCVNM"]
+    for moltype in ("protein", "dayhoff", "hp"):
+        p = SketchParams(ksize=4, scaled=1, num=0, seed=42, moltype=moltype,
+                         track_abundance=True)
+        batched = batch_sketch(pd.Series(docs), p)
+        for doc, got in zip(docs, batched):
+            (h, a), = batch_sketch(pd.Series([doc]), p)
+            assert got[0].tolist() == h.tolist(), (moltype, doc)
+            assert got[1].tolist() == a.tolist(), (moltype, doc)
+
+
+def test_batched_translate_matches_solo():
+    docs = ["ACTGACGATTACAGATTACA", "ACGT", "", "ATGNNNCCCGGGTTTAAA",
+            "GATTACA" * 5]
+    p = SketchParams(
+        ksize=3, scaled=1, num=0, seed=42, moltype="dayhoff", translate=True,
+        track_abundance=True,
+    )
+    batched = batch_sketch(pd.Series(docs), p)
+    for doc, got in zip(docs, batched):
+        (h, a), = batch_sketch(pd.Series([doc]), p)
+        assert got[0].tolist() == h.tolist(), doc
+        assert got[1].tolist() == a.tolist(), doc
+
+
+@needs_data
+def test_spark_protein_sketch_path(spark):
+    """The distributed mapInPandas path with protein params (several
+    records per batch — segment masking must hold)."""
+    recs = _fasta_records(f"{DATA}/ecoli.faa")
+    want = _published(f"{DATA}/benchmark.input_prot.sig")
+    rows = [(i, seq) for i, (_, seq) in enumerate(sorted(recs.items()))]
+    df = spark.createDataFrame(rows, "sig_id long, content string")
+    p = SketchParams(ksize=7, scaled=0, num=500, seed=42, moltype="protein")
+    out = {
+        r["sig_id"]: r
+        for r in sketch_signatures(df, p, keep_cols=["sig_id"]).collect()
+    }
+    assert out[0]["md5"] == want["md5sum"]
+    assert out[0]["n_hashes"] == 500
+    assert out[0]["moltype"] == "protein"
+
+
+@needs_data
+def test_oracle_engine_parity_all_protein_modes():
+    """The scalar dict-based oracle (independent tables) and the vectorized
+    numpy engine agree bit-for-bit on real protein and DNA records for
+    every protein-family moltype, direct and translated."""
+    from sourmash_spark.oracle import sketch_text
+
+    faa = _fasta_records(f"{DATA}/ecoli.faa")
+    fna = _fasta_records(f"{DATA}/ecoli.genes.fna")
+    for moltype in ("protein", "dayhoff", "hp"):
+        p = SketchParams(ksize=7, scaled=4, num=0, seed=42, moltype=moltype)
+        for seq in faa.values():
+            (h, _), = batch_sketch(pd.Series([seq]), p)
+            assert h.tolist() == sketch_text(seq, p).mins, moltype
+        pt = SketchParams(ksize=7, scaled=4, num=0, seed=42,
+                          moltype=moltype, translate=True)
+        for seq in fna.values():
+            (h, _), = batch_sketch(pd.Series([seq]), pt)
+            assert h.tolist() == sketch_text(seq, pt).mins, moltype
