@@ -91,3 +91,82 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    main_protein()  # defined below (protein-family fixture, round 4)
+
+
+# ---------------------------------------------------------------------------
+# Protein-family fixture (round 4): long-form (sig_id, mode, md5, n_hashes,
+# hashes) per document, fully computed by the scalar dict-based oracle
+# (sourmash_spark.oracle sketch_text -> add_protein/add_sequence_translate),
+# whose tables are built independently from the vectorized engine and are
+# pinned to the reference's published benchmark.*prot.sig artifacts in
+# tests/test_protein_sketch.py.
+#
+# Modes over documents.text:
+#   protein / dayhoff / hp : direct amino-acid interpretation of the text
+#   translate_protein      : 6-frame translation of a DNA-ized text (upper,
+#                            then A..Z -> cycling ACGT; spaces untouched so
+#                            they produce 'X' codons) — the same mapping the
+#                            Spark gate applies with F.translate.
+# ---------------------------------------------------------------------------
+
+from sourmash_spark.oracle import sketch_text  # noqa: E402
+from sourmash_spark.params import SketchParams  # noqa: E402
+
+PROT_KSIZE = 7
+PROT_SCALED = 8
+
+LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+DNAIZE = "".join("ACGT"[i % 4] for i in range(26))
+_DNAIZE_TRANS = str.maketrans(LETTERS, DNAIZE)
+
+PROT_MODES = {
+    "protein": (SketchParams(ksize=PROT_KSIZE, scaled=PROT_SCALED,
+                             moltype="protein"), False),
+    "dayhoff": (SketchParams(ksize=PROT_KSIZE, scaled=PROT_SCALED,
+                             moltype="dayhoff"), False),
+    "hp": (SketchParams(ksize=PROT_KSIZE, scaled=PROT_SCALED,
+                        moltype="hp"), False),
+    "translate_protein": (SketchParams(ksize=PROT_KSIZE, scaled=PROT_SCALED,
+                                       moltype="protein", translate=True),
+                          True),
+}
+
+
+def main_protein() -> None:
+    for label, sf_dir in SF_DIRS.items():
+        t0 = time.time()
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ids, modes, md5s, ns, hash_lists = [], [], [], [], []
+        for doc_id, text in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+        ):
+            for mode, (params, dnaize) in PROT_MODES.items():
+                src = (
+                    (text or "").upper().translate(_DNAIZE_TRANS)
+                    if dnaize else (text or "")
+                )
+                mh = sketch_text(src, params)
+                mins_u = np.array(mh.mins, dtype=np.uint64)
+                ids.append(int(doc_id))
+                modes.append(mode)
+                md5s.append(mh.md5sum())
+                ns.append(len(mh))
+                hash_lists.append(u64_to_i64(mins_u).tolist())
+        table = pa.table(
+            {
+                "sig_id": pa.array(ids, pa.int64()),
+                "mode": pa.array(modes, pa.string()),
+                "md5": pa.array(md5s, pa.string()),
+                "n_hashes": pa.array(ns, pa.int32()),
+                "hashes": pa.array(hash_lists, pa.list_(pa.int64())),
+            }
+        )
+        out = f"/root/repo/fixtures/protein_sf{label}.parquet"
+        pq.write_table(table, out, compression="zstd")
+        print(
+            f"{out}: {len(ids)} sketches, "
+            f"{sum(ns)} hashes, {time.time()-t0:.1f}s"
+        )
