@@ -38,7 +38,18 @@ from ..params import SketchParams
 
 SIGNATURE_VERSION = 0.4
 
-_MOLTYPE_TO_JSON = {"code": "protein", "dna": "dna", "protein": "protein"}
+# 'code' is the text-shingle twin of the reference's protein hashing path,
+# so it serializes as molecule "protein" (and imports come back labeled
+# "protein" — identical hashing semantics, md5 identity, stored-ksize 3x)
+_MOLTYPE_TO_JSON = {
+    "code": "protein",
+    "dna": "dna",
+    "protein": "protein",
+    "dayhoff": "dayhoff",
+    "hp": "hp",
+}
+# all protein-family molecules (incl. code) store ksize*3 in the JSON
+_KSIZE3 = ("code", "protein", "dayhoff", "hp")
 
 
 def export_signatures_json(
@@ -68,7 +79,7 @@ def export_signatures_json(
                 ).tolist()
                 sig: dict = {
                     "num": int(r["num"]),
-                    "ksize": int(r["ksize"]) * (3 if r["moltype"] == "code" else 1),
+                    "ksize": int(r["ksize"]) * (3 if r["moltype"] in _KSIZE3 else 1),
                     "seed": int(r["seed"]),
                     "max_hash": max_hash_for_scaled(int(r["scaled"]))
                     if int(r["scaled"])
@@ -169,9 +180,7 @@ def import_signatures_json(df: DataFrame, json_col: str = "sig_json") -> DataFra
                                 ),
                                 "num": np.int32(num),
                                 "seed": np.int64(sig.get("seed", 42)),
-                                "moltype": "code"
-                                if molecule == "protein"
-                                else molecule,
+                                "moltype": molecule,
                                 "hashes": u64_to_i64(mins),
                                 "abunds": abunds,
                                 "n_hashes": np.int32(mins.size),

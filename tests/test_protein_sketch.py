@@ -205,3 +205,52 @@ def test_oracle_engine_parity_all_protein_modes():
         for seq in fna.values():
             (h, _), = batch_sketch(pd.Series([seq]), pt)
             assert h.tolist() == sketch_text(seq, pt).mins, moltype
+
+
+@needs_data
+def test_load_reference_protein_family_sigs(spark):
+    """Real prot/{protein,dayhoff,hp}/GCA_*.sig artifacts import with the
+    right moltype and AA ksize, and the stored md5sum is reproduced from
+    the imported (ksize, mins) by our identity formula — format parity."""
+    from sourmash_spark.sources.sig_json import from_sig_file
+
+    base = f"{DATA}/prot"
+    for enc in ("protein", "dayhoff", "hp"):
+        for gca in ("GCA_001593925.1", "GCA_001593935.1"):
+            path = (
+                f"{base}/{enc}/{gca}_ASM1593{'92' if '25' in gca else '93'}"
+                "v1_protein.faa.gz.sig"
+            )
+            row = from_sig_file(spark, path).first()
+            assert row["moltype"] == enc
+            assert row["ksize"] == 19  # stored 57 / 3 (build.sh: -k 57)
+            h = np.array(row["hashes"], dtype=np.int64).view(np.uint64)
+            # md5 identity recomputed from stored ksize*3 + mins
+            assert sketch_md5(h, 57) == row["md5"], (enc, gca)
+
+
+@needs_data
+def test_protein_family_sig_jaccard_ordering(spark):
+    """Jaccard between the two GCA genomes rises as the residue alphabet
+    collapses (protein 20 letters -> dayhoff 6 -> hp 2): a semantic sanity
+    check on the published sketches our kernels consume."""
+    from sourmash_spark.operators.compare import compare_all_pairs
+    from sourmash_spark.sources.sig_json import from_sig_file
+    import pyspark.sql.functions as F
+
+    jac = {}
+    for enc in ("protein", "dayhoff", "hp"):
+        a = from_sig_file(
+            spark,
+            f"{DATA}/prot/{enc}/GCA_001593925.1_ASM159392v1_protein.faa.gz.sig",
+        )
+        b = from_sig_file(
+            spark,
+            f"{DATA}/prot/{enc}/GCA_001593935.1_ASM159393v1_protein.faa.gz.sig",
+        )
+        sigs = a.unionByName(b).withColumn(
+            "sig_id", F.monotonically_increasing_id()
+        )
+        (pair,) = compare_all_pairs(sigs, threshold=0.0).collect()
+        jac[enc] = pair["jaccard"]
+    assert 0 < jac["protein"] < jac["dayhoff"] < jac["hp"] <= 1
