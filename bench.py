@@ -67,6 +67,7 @@ def main() -> None:
     from dataclasses import replace
     from itertools import count as _count
 
+    from sourmash_spark.params import SketchParams
     from sourmash_spark.sketch import sketch_signatures
 
     _seed_tick = _count(1000)
@@ -87,6 +88,30 @@ def main() -> None:
         return fresh_sigs().count()
 
     timed("sketch_murmur", q_sketch)
+
+    # heaviest new-moltype path (r4): 6-frame DNA->protein translation
+    # sketching over the DNA-ized text (same mapping as the gate)
+    def q_sketch_translate():
+        from sourmash_spark.session import ensure_parallelism
+
+        p = replace(
+            SketchParams(
+                ksize=entrymod.PROT_KSIZE, scaled=entrymod.PROT_SCALED,
+                moltype="protein", translate=True,
+            ),
+            seed=next(_seed_tick),
+        )
+        docs = entrymod._docs(spark, sf_dir).select(
+            F.col("doc_id").alias("sig_id"),
+            F.translate(
+                F.upper(F.col("text")), entrymod._LETTERS, entrymod._DNAIZE
+            ).alias("content"),
+        )
+        return sketch_signatures(
+            ensure_parallelism(docs), p, keep_cols=["sig_id"]
+        ).count()
+
+    timed("sketch_translate", q_sketch_translate)
 
     # full pipeline: sketch -> bands -> candidates -> verify -> cluster
     def q_pipeline():

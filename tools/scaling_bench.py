@@ -183,6 +183,20 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    # machine-readable twin of the BASELINE.md scaling table (r4): lets the
+    # driver/judge diff scaling-efficiency regressions mechanically
+    with open("/root/repo/BENCH/SCALING.json", "w") as f:
+        json.dump(
+            {
+                **result,
+                "n_small_cores": N_SMALL,
+                "n_big_cores": N_BIG,
+                "rounds": rounds,
+                "target_efficiency": 0.8,
+            },
+            f, indent=1, sort_keys=True,
+        )
+        f.write("\n")
     section = (f"""# BENCH/BASELINE — scaling evidence (north rule)
 
 Identical job (sketch -> LSH bands -> candidates -> exact verify ->
