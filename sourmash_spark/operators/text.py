@@ -37,33 +37,42 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     """Heuristic quality metrics: length, punctuation ratio, stopword ratio,
     mean word length, distinct-word ratio."""
     w = docops.words(F.col(text_col))
-    n_words = F.size(w)
     stop = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
-    n_stop = F.size(F.array_intersect(w, stop))
     punct = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
     )
-    return docs.select(
+    # let-bind the distinct-word array through an intermediate projection so
+    # the distinct pass runs once, not once per ratio
+    staged = docs.select(
         F.col(id_col),
-        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
-        F.round(punct / F.greatest(F.length(text_col), F.lit(1)), 6).alias(
-            "punct_ratio"
-        ),
+        F.length(F.col(text_col)).alias("_len"),
+        punct.alias("_punct"),
+        w.alias("_w"),
+        F.array_distinct(w).alias("_dw"),
+    )
+    n_words = F.size("_w")
+    n_distinct = F.size("_dw")
+    return staged.select(
+        F.col(id_col),
+        F.col("_len").cast("long").alias("n_chars_measured"),
         F.round(
-            F.size(F.array_intersect(F.array_distinct(w), stop))
-            / F.greatest(F.size(F.array_distinct(w)), F.lit(1)),
+            F.col("_punct") / F.greatest(F.col("_len"), F.lit(1)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.size(F.array_intersect("_dw", stop))
+            / F.greatest(n_distinct, F.lit(1)),
             6,
         ).alias("stopword_ratio"),
         F.round(
             F.aggregate(
-                w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+                "_w", F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
             )
             / F.greatest(n_words, F.lit(1)),
             6,
         ).alias("mean_word_len"),
-        F.round(
-            F.size(F.array_distinct(w)) / F.greatest(n_words, F.lit(1)), 6
-        ).alias("distinct_ratio"),
+        F.round(n_distinct / F.greatest(n_words, F.lit(1)), 6).alias(
+            "distinct_ratio"
+        ),
     )
 
 
