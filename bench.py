@@ -129,14 +129,17 @@ def main() -> None:
     # operator-level timings run on a materialized signatures table (the
     # checkpoint-table analog) — sketching is already timed above
     sigs_cached = entrymod._murmur_sigs(spark, sf_dir).cache()
-    sigs_cached.count()
+    n_sigs_cached = sigs_cached.count()
 
-    # scaled passed explicitly: skips the plan-build metadata job; the r3
-    # execution-time uniformity assertion makes this safe
+    # scaled passed explicitly: skips the plan-build metadata job (the r3
+    # execution-time uniformity assertion makes this safe); n_sigs passed
+    # explicitly: proves the df-cap a no-op with zero probe work (r4), so
+    # this is the uncapped join0 plan with the cap still default-on
     timed(
         "compare_all_pairs",
         lambda: compare_all_pairs(
-            sigs_cached, threshold=0.25, scaled=P.scaled
+            sigs_cached, threshold=0.25, scaled=P.scaled,
+            n_sigs=n_sigs_cached,
         ).count(),
     )
 

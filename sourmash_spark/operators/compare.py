@@ -54,6 +54,7 @@ def cap_postings(
     key_cols: list[str],
     df_cap: int,
     observation=None,
+    n_ids: int | None = None,
 ) -> DataFrame:
     """Drop keys held by more than `df_cap` ids from a postings DataFrame —
     the boilerplate guard applied before any pair self-join.
@@ -87,8 +88,17 @@ def cap_postings(
     total_postings / df_cap keys; if that overflows the broadcast budget
     (only at ~10^8+ hot keys), swap the anti join for a shuffle semi-join
     on the keep set — correctness is identical.
+
+    `n_ids`: number of distinct ids in `p`, valid ONLY when every id
+    contributes each key at most once (true for all in-package callers:
+    sketch hashes are sets, gram/fingerprint arrays are array_distinct'd,
+    band keys are one-per-(band,id)).  Then df <= n_ids for every key, so
+    `n_ids <= df_cap` proves the cap is a no-op WITHOUT any probe job —
+    the dominant case below corpus scale pays literally zero.
     """
     if not df_cap:
+        return p
+    if n_ids is not None and n_ids <= df_cap and observation is None:
         return p
     hot = (
         p.groupBy(*key_cols)
@@ -122,13 +132,15 @@ def postings(
     sigs: DataFrame,
     sig_id: str = "sig_id",
     df_cap: int = DEFAULT_DF_CAP,
+    n_sigs: int | None = None,
 ) -> DataFrame:
     """Inverted index: one row per (hashval, sig_id) — the analog of the
     reference's `sourmash_hashes` table (sqlite_index.py:263-278).  Keys in
     more than `df_cap` sketches are dropped before any join (broadcast
-    anti join against the over-cap key set — see cap_postings)."""
+    anti join against the over-cap key set — see cap_postings; pass
+    `n_sigs` when known to prove the cap a no-op for free)."""
     p = sigs.select(sig_id, F.explode("hashes").alias("hashval"))
-    return cap_postings(p, ["hashval"], df_cap)
+    return cap_postings(p, ["hashval"], df_cap, n_ids=n_sigs)
 
 
 def compare_all_pairs(
@@ -140,8 +152,14 @@ def compare_all_pairs(
     df_cap: int = DEFAULT_DF_CAP,
     estimate_ani: bool = False,
     ksize: int = 21,
+    n_sigs: int | None = None,
 ) -> DataFrame:
     """Long-form pairwise similarity over one signatures DataFrame.
+
+    `n_sigs` (collection size, if the caller knows it) proves the df-cap a
+    no-op when n_sigs <= df_cap without any probe work; left None it is
+    counted alongside the existing metadata job (or by one narrow count
+    when `scaled` is passed).
 
     `estimate_ani=True` appends the reference's `compare --estimate-ani`
     column (jaccard- or containment-derived ANI point per `mode`).
@@ -175,10 +193,13 @@ def compare_all_pairs(
             "collection: downsample first or omit `scaled`",
         )
     if scaled is None and "scaled" in sigs.columns:
-        meta_aggs = [F.collect_set("scaled").alias("_s")]
+        meta_aggs = [F.collect_set("scaled").alias("_s"),
+                     F.count("*").alias("_n")]
         if "ksize" in sigs.columns:
             meta_aggs.append(F.countDistinct("ksize").alias("_k"))
         meta = sigs.agg(*meta_aggs).collect()[0]
+        if n_sigs is None:
+            n_sigs = int(meta["_n"])
         if "ksize" in sigs.columns and meta["_k"] > 1:
             # reference parity: different ksizes cannot be compared
             # (minhash.py mismatch TypeError)
@@ -195,12 +216,16 @@ def compare_all_pairs(
             scaled = common
         elif scaled_vals:
             scaled = int(scaled_vals[0])
+    if df_cap and n_sigs is None:
+        # one narrow count (cheaper than the probe's explode+shuffle pass);
+        # scale callers pass n_sigs to skip even this
+        n_sigs = sigs.count()
     p = cap_postings(
         sigs.select(
             F.col(sig_id), F.col("n_hashes"),
             F.explode("hashes").alias("hashval"),
         ),
-        ["hashval"], df_cap,
+        ["hashval"], df_cap, n_ids=n_sigs,
     )
     a = p.select(
         F.col(sig_id).alias("sig_id_a"), F.col("n_hashes").alias("size_a"),

@@ -69,21 +69,26 @@ def minhash_pairs60(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     df_cap: int = DEFAULT_DF_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All-pairs jaccard over hash60 sketches (inverted-index join, same
     plan as operators.compare.compare_all_pairs).  `df_cap` (default
     DEFAULT_DF_CAP, 0 disables) drops hashes present in more than df_cap
     docs from the join — the boilerplate guard against the O(df^2) pair
     blowup; sizes stay full-sketch, so capped jaccard lower-bounds true
-    jaccard.  Lineage: compare.df_cap_stats."""
+    jaccard.  Lineage: compare.df_cap_stats.  `n_docs` (if known) proves
+    the cap a no-op for free when n_docs <= df_cap (sketch hashes are
+    per-doc distinct); left None it is one narrow count."""
     from .compare import cap_postings
 
+    if df_cap and n_docs is None:
+        n_docs = sketches.count()
     p = cap_postings(
         sketches.select(
             F.col(id_col), F.col("n_hashes"),
             F.explode("hashes").alias("hashval"),
         ),
-        ["hashval"], df_cap,
+        ["hashval"], df_cap, n_ids=n_docs,
     )
     a = p.select(
         F.col(id_col).alias("id_a"), F.col("n_hashes").alias("size_a"),
@@ -121,6 +126,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     hash_grams: bool = True,
     df_cap: int = DEFAULT_DF_CAP,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram jaccard near-dup pairs via inverted-index join.
 
@@ -161,7 +167,9 @@ def ngram_jaccard_pairs(
         grams = grams.select(
             id_col, "n_grams", F.xxhash64("gram").alias("gram")
         )
-    g = cap_postings(grams, ["gram"], df_cap)
+    if df_cap and n_docs is None:
+        n_docs = docs.count()  # narrow; proves the cap a no-op when small
+    g = cap_postings(grams, ["gram"], df_cap, n_ids=n_docs)
     a = g.select(
         F.col(id_col).alias("id_a"), F.col("n_grams").alias("size_a"),
         "gram",
@@ -433,6 +441,7 @@ def substring_dup_pairs(
     df_cap: int = DEFAULT_DF_CAP,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Duplicated-substring pairs — the scalable stand-in for suffix-array
     substring dedup (Lee et al. 2022 find repeated spans with a suffix
@@ -452,8 +461,10 @@ def substring_dup_pairs(
         raise ValueError(f"min_len ({min_len}) must be >= k ({k})")
     from .compare import cap_postings
 
+    if df_cap and n_docs is None:
+        n_docs = docs.count()
     _, fps = _winnow_fp_postings(docs, k, window, id_col, text_col)
-    fps = cap_postings(fps, ["fp"], df_cap)
+    fps = cap_postings(fps, ["fp"], df_cap, n_ids=n_docs)
     a = fps.select(F.col(id_col).alias("id_a"), "fp")
     b = fps.select(F.col(id_col).alias("id_b"), "fp")
     return (

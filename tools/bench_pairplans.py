@@ -117,9 +117,28 @@ def main() -> None:
         a, b = sides(p)
         return pair_agg(a, b).count()
 
+    def probe():
+        # hot-set probe without the n_ids shortcut: one extra pass over the
+        # postings (explode + map-side-combined count shuffle), then join0
+        from sourmash_spark.operators.compare import cap_postings
+
+        a, b = sides(cap_postings(postings(), ["hashval"], CAP))
+        return pair_agg(a, b).count()
+
+    def eager():
+        # the shipped r4 plan: n_sigs <= df_cap proves the cap a no-op
+        # (per-sketch-distinct hashes => df <= n_sigs), so the capped plan
+        # IS join0 plus one cached count
+        from sourmash_spark.operators.compare import cap_postings
+
+        a, b = sides(
+            cap_postings(postings(), ["hashval"], CAP, n_ids=sigs.count())
+        )
+        return pair_agg(a, b).count()
+
     plans = {
         "join0": join0, "semi": semi, "grouped": grouped, "anti": anti,
-        "windowed": windowed,
+        "windowed": windowed, "probe": probe, "eager": eager,
     }
     results = {}
     for _ in range(reps):  # interleaved reps: shared-host noise hits all
