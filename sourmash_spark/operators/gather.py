@@ -303,34 +303,72 @@ def _gather_rows(
     query_md5: str,
     sig_id: str,
     estimate_ani_ci: bool,
+    max_driver_bytes: int | None = None,
 ) -> tuple[list[dict], np.ndarray]:
     """Candidate sweep + greedy rounds; returns (GatherResult row dicts,
-    remaining query hashes in u64).  Candidate hash arrays are fetched with
-    a broadcast left-semi join on the prefetch survivors (never a literal
-    IN-list — thousands of candidates would bloat the plan)."""
+    remaining query hashes in u64).
+
+    Driver-state bound: the greedy rounds hold every prefetch survivor's
+    hash array on the driver — candidates x mean_sketch_hashes x 8 bytes
+    (the reference's own CounterGather keeps exactly this state,
+    index/__init__.py:735-909; the set is threshold_bp-bounded).  The
+    candidate fetch is ONE execution of the expensive plan: prefetch
+    survivors join back to the db for their hash arrays (broadcast hash
+    join — never a literal IN-list), the joined result is materialized
+    cluster-side once (localCheckpoint), and the byte bound is checked
+    with a tiny agg on the checkpoint BEFORE anything reaches the driver.
+    `max_driver_bytes` (default SOURMASH_SPARK_GATHER_MAX_DRIVER_BYTES or
+    4 GiB) turns the pathological regime (millions of candidates x 10k-hash
+    sketches) into a clear error instead of a driver OOM.
+
+    Cluster-side alternative for that regime (design note): keep
+    (candidate, hashval) postings in a DataFrame; each round computes
+    argmax overlap with a groupBy(candidate).count over the remaining-hash
+    semi-join, subtracts the winner's hashes with a left-anti join, and
+    localCheckpoints the remainder.  That is O(rounds) shuffles of the
+    postings — correct but far slower for the common (bounded) case, which
+    is why the reference and this engine both keep the counter on the
+    driver."""
     min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
+    if max_driver_bytes is None:
+        import os
+
+        max_driver_bytes = int(
+            os.environ.get(
+                "SOURMASH_SPARK_GATHER_MAX_DRIVER_BYTES", 4 * 1024**3
+            )
+        )
 
     cands_df = prefetch(
         db, query_hashes, scaled, ksize=ksize, threshold_bp=threshold_bp,
         query_md5=query_md5, sig_id=sig_id,
     ).select(sig_id, "match_name", "match_md5")
-    cand_meta = cands_df.collect()
-    if cand_meta:
-        ids_df = cands_df.sparkSession.createDataFrame(
-            [(r[sig_id],) for r in cand_meta], f"{sig_id} long"
+    joined = (
+        db.select(sig_id, "hashes")
+        .join(F.broadcast(cands_df), sig_id)
+        .select(sig_id, "match_name", "match_md5", "hashes")
+        .localCheckpoint(eager=True)
+    )
+    est = joined.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("hashes")), F.lit(0)).alias("nh"),
+    ).first()
+    est_bytes = int(est["nh"]) * 8
+    if est_bytes > max_driver_bytes:
+        raise ValueError(
+            f"gather: candidate state ({est['n']} candidates, "
+            f"~{est_bytes / 1024**2:.0f} MiB of hashes) exceeds the driver "
+            f"bound ({max_driver_bytes / 1024**2:.0f} MiB). Raise "
+            "threshold_bp to shrink the candidate set, or raise "
+            "SOURMASH_SPARK_GATHER_MAX_DRIVER_BYTES; see _gather_rows's "
+            "docstring for the cluster-side per-round design."
         )
-        rows = (
-            db.join(F.broadcast(ids_df), sig_id, "left_semi")
-            .select(sig_id, "hashes")
-            .collect()
-        )
-        cand_hashes = {
-            r[sig_id]: i64_to_u64(np.array(r["hashes"], dtype=np.int64))
-            for r in rows
-        }
-    else:
-        cand_hashes = {}
-    meta = {r[sig_id]: (r["match_name"], r["match_md5"]) for r in cand_meta}
+    rows = joined.collect()
+    cand_hashes = {
+        r[sig_id]: i64_to_u64(np.array(r["hashes"], dtype=np.int64))
+        for r in rows
+    }
+    meta = {r[sig_id]: (r["match_name"], r["match_md5"]) for r in rows}
     md5_of = {k: v[1] for k, v in meta.items()}
 
     orig = np.unique(
