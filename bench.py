@@ -207,6 +207,27 @@ def main() -> None:
         "gopher_quality",
         lambda: text_ops.gopher_quality(docs).count(),
     )
+
+    # the deploy-shaped chained filter (jobs/quality_filter_job.py):
+    # exact dedup -> Gopher quality -> decontamination vs the deterministic
+    # benchmark subset, surviving-row count
+    def q_quality_chain():
+        bench = docs.filter(F.col("doc_id") % 97 == 3).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        groups = dedup_ops.exact_dedup(docs)
+        dup_ids = groups.select(
+            F.explode("dup_ids").alias("doc_id"), "canonical_id"
+        ).filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+        d1 = docs.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+        bad_q = text_ops.gopher_quality(d1).filter(~F.col("passes")).select(
+            "doc_id"
+        )
+        d2 = d1.join(bad_q, "doc_id", "left_anti")
+        contaminated = text_ops.decontaminate(d2, bench, n=8).select("doc_id")
+        return d2.join(contaminated, "doc_id", "left_anti").count()
+
+    timed("quality_chain", q_quality_chain)
     from sourmash_spark.operators.ann import semantic_dedup
 
     # n_cells grows with the table so per-cell population (and the
@@ -252,24 +273,39 @@ def main() -> None:
     sigs_per_sec = round(n_docs / qtimes["sketch_murmur"], 1)
 
     total = round(sum(qtimes.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "n_docs": n_docs,
-                "sigs_per_sec": sigs_per_sec,
-                "protocol": (
-                    f"1 untimed warmup sweep + best-of-{reps} "
-                    "interleaved sweeps"
-                ),
+    payload = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "sigs_per_sec": sigs_per_sec,
+        "protocol": (
+            f"1 untimed warmup sweep + best-of-{reps} "
+            "interleaved sweeps"
+        ),
+    }
+    # two-scale block (VERDICT r3 #4): when this is the default sf0.1 run
+    # and a committed sf1 measurement exists (tools/bench_sf1.py), embed it
+    # plus the per-query 10x-data ratios so scale-up regressions diff
+    # mechanically from ONE json
+    sf1_path = os.path.join(os.path.dirname(__file__), "BENCH", "BENCH_sf1.json")
+    if sf_dir.rstrip("/").endswith("sf0.1") and os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as f:
+                sf1 = json.load(f)
+            payload["sf1_queries"] = sf1.get("queries", {})
+            payload["sf1_suite_wall"] = sf1.get("value")
+            payload["scaleup_ratio_10x"] = {
+                q: round(sf1["queries"][q] / t, 2)
+                for q, t in qtimes.items()
+                if q in sf1.get("queries", {}) and t > 0
             }
-        )
-    )
+        except (ValueError, KeyError):
+            pass
+    print(json.dumps(payload))
     spark.stop()
 
 

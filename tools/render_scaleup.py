@@ -1,0 +1,83 @@
+"""Render the sf0.1 -> sf1 scale-up table in BENCH/BASELINE.md from the
+machine-readable two-scale bench JSON (VERDICT r3 #4: the table must be
+GENERATED from the artifact, not hand-maintained).
+
+Reads BENCH/BENCH_two_scale_r4.json (a bench.py run at sf0.1 with the
+embedded sf1 block) and replaces the section between the
+SCALEUP-TABLE-BEGIN/END markers in BENCH/BASELINE.md; everything outside
+the markers is preserved.
+
+Usage: python tools/render_scaleup.py [two_scale_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+    REPO, "BENCH", "BENCH_two_scale_r4.json"
+)
+TARGET = os.path.join(REPO, "BENCH", "BASELINE.md")
+BEGIN = "<!-- SCALEUP-TABLE-BEGIN (tools/render_scaleup.py) -->"
+END = "<!-- SCALEUP-TABLE-END -->"
+
+# queries whose exact all-pairs form is the verification baseline, not the
+# scale path (the designated scale path is named instead)
+REFEREES = {
+    "compare_all_pairs": "QUADRATIC REFEREE - scale path is the LSH pipeline",
+    "ngram_jaccard": "QUADRATIC REFEREE - scale path is MinHash+LSH",
+}
+
+
+def main() -> None:
+    with open(SRC) as f:
+        d = json.load(f)
+    if "sf1_queries" not in d:
+        sys.exit(f"{SRC} has no embedded sf1 block — run tools/bench_sf1.py "
+                 "then bench.py at sf0.1")
+    lines = [
+        BEGIN,
+        "",
+        f"Generated from `BENCH/{os.path.basename(SRC)}` "
+        "(bench.py at sf0.1 with the BENCH_sf1.json block embedded; "
+        "identical interleaved best-of-N protocol at both scales).",
+        "",
+        "| query | sf0.1 (s) | sf1 (s) | 10x-data ratio | class |",
+        "|---|---|---|---|---|",
+    ]
+    for q, t01 in sorted(d["queries"].items(), key=lambda kv: kv[1]):
+        t1 = d["sf1_queries"].get(q)
+        if t1 is None:
+            continue
+        ratio = d["scaleup_ratio_10x"].get(q, round(t1 / t01, 2))
+        cls = REFEREES.get(
+            q, "scale path" if ratio <= 10 else "CHECK: superlinear"
+        )
+        lines.append(f"| {q} | {t01} | {t1} | {ratio}x | {cls} |")
+    lines += [
+        "",
+        f"Suite wall: {d['value']} s (sf0.1) / {d['sf1_suite_wall']} s "
+        f"(sf1); sketch throughput {d['sigs_per_sec']} sigs/s at sf0.1.",
+        "",
+        END,
+    ]
+    block = "\n".join(lines)
+
+    with open(TARGET) as f:
+        doc = f.read()
+    if BEGIN in doc and END in doc:
+        pre = doc.split(BEGIN)[0]
+        post = doc.split(END, 1)[1]
+        doc = pre + block + post
+    else:
+        doc = doc.rstrip() + "\n\n## Machine-generated two-scale table (r4)\n\n" + block + "\n"
+    with open(TARGET, "w") as f:
+        f.write(doc)
+    print(f"wrote scale-up table into {TARGET}")
+
+
+if __name__ == "__main__":
+    main()
