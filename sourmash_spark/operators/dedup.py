@@ -508,3 +508,81 @@ def substring_dup_spans(
             F.lit(k).cast("int").alias("length"),
         )
     )
+
+
+def repeated_segment_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+    min_df: int = 2,
+    segments_col: str | None = None,
+    hash_segments: bool = True,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style repeated-segment removal: drop every segment
+    (line / paragraph / caller-defined chunk) whose EXACT content occurs in
+    at least `min_df` distinct documents, keep the rest in original order,
+    and reconstruct the text (all copies are removed, matching CCNet's
+    corpus-level line dedup — boilerplate navigation/footer lines carry no
+    training signal in any copy).
+
+    Input is either free text split on `delimiter`, or — when the corpus
+    has no newline structure — a precomputed `segments_col`
+    (array<string>, e.g. fixed-width word chunks).
+
+    `hash_segments=True` (the scale path) shuffles 8-byte xxhash64 keys
+    instead of segment strings; a collision needs two distinct segments
+    with equal 64-bit hashes (negligible, same argument as
+    ngram_jaccard_pairs).  False keeps raw strings (the cross-engine
+    exactness baseline).
+
+    Plan shape (scales like every other inverted-index op here):
+    one groupBy on segment key (map-side-combined countDistinct) for the
+    repeated set, a join back on the key (AQE picks broadcast when the
+    repeated set is small, which it is outside boilerplate-storms), and
+    one groupBy(doc) to reassemble.  n_segments rides the narrow scan —
+    never a second pass.
+
+    Output: (id_col, n_segments, n_removed, text_deduped).
+    """
+    segs_arr = (
+        F.col(segments_col)
+        if segments_col
+        else F.split(F.col(text_col), delimiter)
+    )
+    segs = docs.select(
+        F.col(id_col), F.posexplode(segs_arr).alias("pos", "seg")
+    )
+    key = F.xxhash64("seg") if hash_segments else F.col("seg")
+    segs = segs.select(id_col, "pos", "seg", key.alias("_k"))
+    repeated = (
+        segs.groupBy("_k")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_k")
+    )
+    kept = segs.join(repeated, "_k", "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+            delimiter,
+        ).alias("text_deduped"),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(segs_arr).cast("long").alias("n_segments"),
+    )
+    return base.join(kept_agg, id_col, "left").select(
+        id_col,
+        "n_segments",
+        (F.col("n_segments") - F.coalesce("_n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    )

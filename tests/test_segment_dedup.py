@@ -1,0 +1,81 @@
+"""repeated_segment_removal — CCNet-style corpus-level repeated-line
+removal: hashed scale path == exact-string baseline, all-copies-removed
+semantics, order-preserving reconstruction, empty-result docs survive."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sourmash_spark.operators.dedup import repeated_segment_removal
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon footer\ngamma"),
+            (2, "delta\ncommon footer\nepsilon"),
+            (3, "zeta\nunique only"),
+            (4, "common footer\ncommon footer"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_hashed_path_matches_exact_strings(spark):
+    docs = _docs(spark)
+    hashed = repeated_segment_removal(docs, hash_segments=True)
+    exact = repeated_segment_removal(docs, hash_segments=False)
+    assert sorted(map(tuple, hashed.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_all_copies_removed_and_order_kept(spark):
+    out = {
+        r["doc_id"]: r for r in repeated_segment_removal(_docs(spark)).collect()
+    }
+    assert out[1]["text_deduped"] == "alpha beta\ngamma"
+    assert out[1]["n_removed"] == 1
+    # within-doc repeats of a corpus-repeated segment all go
+    assert out[4]["text_deduped"] == "" and out[4]["n_removed"] == 2
+    # untouched doc
+    assert out[3]["n_removed"] == 0 and out[3]["text_deduped"] == "zeta\nunique only"
+    # every input doc appears exactly once
+    assert len(out) == 5
+
+
+def test_min_df_threshold(spark):
+    docs = _docs(spark)
+    # min_df=3: 'common footer' appears in 3 distinct docs -> still removed
+    out3 = {
+        r["doc_id"]: r["n_removed"]
+        for r in repeated_segment_removal(docs, min_df=3).collect()
+    }
+    assert out3[1] == 1
+    # min_df=4: only 3 distinct docs carry it -> kept everywhere
+    out4 = {
+        r["doc_id"]: r["n_removed"]
+        for r in repeated_segment_removal(docs, min_df=4).collect()
+    }
+    assert all(v == 0 for v in out4.values())
+
+
+def test_segments_col_path(spark):
+    segged = _docs(spark).select(
+        "doc_id", F.split("text", "\n").alias("chunks")
+    )
+    via_col = repeated_segment_removal(segged, segments_col="chunks")
+    via_text = repeated_segment_removal(_docs(spark))
+    assert sorted(map(tuple, via_col.collect())) == sorted(
+        map(tuple, via_text.collect())
+    )
+
+
+def test_plan_has_no_cartesian(spark):
+    plan = (
+        repeated_segment_removal(_docs(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
