@@ -189,3 +189,46 @@ def assign_clusters(
             F.coalesce("cluster_id", F.col("sig_id")).alias("cluster_id"),
         )
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "sig_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware representative per near-dup cluster: instead of the
+    lowest-id member (the pipeline's canonical default), keep the member
+    with the highest `score` (RefinedWeb/FineWeb keep the best copy, not
+    the first).  Ties break on lowest id, so the choice is deterministic.
+
+    `quality` is (id_col, score_col) — any per-document metric (gopher
+    signals, length, a model score).  Plan: one equi-join on id (the
+    quality side is usually the same table the clusters came from — let
+    AQE/broadcast decide) + one rank-1 window partitioned by cluster; at
+    10^12 rows both shuffle on keys that near-dup clustering already
+    shuffles on.
+
+    Output: (cluster_id, representative_id, n_members, score).
+    """
+    from pyspark.sql import Window
+
+    joined = clusters.join(quality.select(id_col, score_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy(cluster_col)).cast("long"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(cluster_col),
+            F.col(id_col).alias("representative_id"),
+            "n_members",
+            F.col(score_col).alias("score"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Corpus assembly for training pipelines: deterministic source-weighted
+sampling (data mixing) and token-budget sequence packing.
+
+Both are narrow, shuffle-minimal plans built for the 10^12-row regime:
+
+* `stratified_sample` is a pure filter — no sampling state, no shuffle,
+  and the SAME rows are kept at any parallelism, any partitioning, and on
+  reruns (the keep decision is hash60(id, seed) < fraction x space, the
+  same derandomization trick the fractional MinHash sketch itself uses).
+  Spark's `DataFrame.sample` is per-partition-RNG and NOT stable under
+  repartitioning, which makes lineage and resume impossible — so we don't
+  use it.
+
+* `pack_sequences` assigns each document to a fixed-size token-budget
+  pack (offset bucketing: a pack is `budget` consecutive tokens of the
+  source's id-ordered stream, a document belongs to the pack its FIRST
+  token lands in).  First-fit-decreasing packing is inherently sequential;
+  offset bucketing is the order-preserving deterministic analog that is
+  one window aggregation per source — the same plan at any scale, and
+  packs can be materialized independently per source partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from . import docops
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 1,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff
+    hash60(id ':' seed) < fraction(stratum) x 2^60.  Strata absent from
+    `fractions` get `default_fraction` (drop by default — a mixing recipe
+    should be explicit about every source it admits).
+
+    The keep-set is a pure function of (id, seed, recipe): stable across
+    reruns, partitionings, and cluster sizes, so downstream lineage and
+    resume see the same corpus every time.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0,1]")
+    # integer thresholds computed once on the driver: engines differ in
+    # double->long cast semantics (truncate vs round), so the boundary is
+    # pinned as an exact 60-bit literal instead of a float expression
+    thr = F.lit(int(default_fraction * docops.HASH60_SPACE))
+    for s, f in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == s, F.lit(int(f * docops.HASH60_SPACE))
+        ).otherwise(thr)
+    h = docops.hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    return docs.filter(h < thr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 4096,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget packing: (id, stratum, n_tokens, pack_id, pack_offset)
+    where `pack_id` buckets each source's id-ordered token stream into
+    `budget`-token packs and `pack_offset` is the document's first-token
+    offset within its pack.  Tokens are whitespace words (swap in a real
+    tokenizer count upstream by providing an `n_tokens` column — it is
+    used when present).
+
+    One window aggregation partitioned by stratum; at 10^12 rows the
+    per-source streams sort-spill locally and nothing else shuffles.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    n_tok = (
+        F.col("n_tokens").cast("long")
+        if "n_tokens" in docs.columns
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        F.col(id_col), F.col(strata_col), n_tok.alias("n_tokens")
+    ).withColumn("_cum", F.sum("n_tokens").over(w))
+    start = F.col("_cum") - F.col("n_tokens")
+    return staged.select(
+        id_col,
+        strata_col,
+        "n_tokens",
+        F.floor(start / budget).cast("long").alias("pack_id"),
+        (start % budget).cast("long").alias("pack_offset"),
+    )

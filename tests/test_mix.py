@@ -1,0 +1,86 @@
+"""Corpus-assembly ops: deterministic mixing, packing, representative
+selection."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sourmash_spark.operators.mix import pack_sequences, stratified_sample
+from sourmash_spark.operators.cluster import cluster_representatives
+
+
+def _docs(spark):
+    rows = [
+        (i, f"src{i % 4}", " ".join(f"w{i}_{j}" for j in range(5 + i % 7)))
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark)
+    frac = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    kept = stratified_sample(docs, frac, seed=7)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # exact strata behavior at the extremes; absent stratum dropped
+    by_src = {s: [i for i in ids if i % 4 == int(s[-1])] for s in
+              ("src0", "src1", "src2", "src3")}
+    assert len(by_src["src0"]) == 50        # fraction 1.0 keeps all
+    assert by_src["src2"] == []             # fraction 0.0 drops all
+    assert by_src["src3"] == []             # default_fraction drops unknown
+    assert 10 <= len(by_src["src1"]) <= 40  # ~0.5 of 50
+    # identical keep-set at a different partitioning (the scale claim)
+    ids2 = sorted(
+        r["doc_id"]
+        for r in stratified_sample(docs.repartition(13), frac, seed=7).collect()
+    )
+    assert ids2 == ids
+    # a different seed gives a different (but still deterministic) set
+    ids_seed = sorted(
+        r["doc_id"] for r in stratified_sample(docs, frac, seed=8).collect()
+    )
+    assert ids_seed != ids
+
+
+def test_stratified_sample_validates_fractions(spark):
+    with pytest.raises(ValueError):
+        stratified_sample(_docs(spark), {"src0": 1.5})
+
+
+def test_pack_sequences_invariants(spark):
+    out = pack_sequences(_docs(spark), budget=37).collect()
+    assert len(out) == 200
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // 37
+            assert r["pack_offset"] == cum % 37
+            cum += r["n_tokens"]
+
+
+def test_pack_sequences_uses_n_tokens_column(spark):
+    docs = _docs(spark).withColumn("n_tokens", F.lit(10))
+    out = pack_sequences(docs, budget=30).collect()
+    assert all(r["n_tokens"] == 10 for r in out)
+    assert all(r["pack_offset"] in (0, 10, 20) for r in out)
+
+
+def test_cluster_representatives_argmax(spark):
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (9, 300)],
+        "sig_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (9, 0)], "sig_id long, score long"
+    )
+    out = {r["cluster_id"]: r for r in
+           cluster_representatives(clusters, quality).collect()}
+    assert out[100]["representative_id"] == 2  # max score, tie -> lowest id
+    assert out[100]["n_members"] == 3
+    assert out[200]["representative_id"] == 4
+    assert out[300]["n_members"] == 1
