@@ -1,0 +1,48 @@
+"""Driver gate-window invariants: the external correctness driver records
+only the FIRST 50 registered gates, so registration order is part of the
+witnessing contract (ADVICE r3)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+R4_NEW_OR_CHANGED = [
+    # gates over code paths added or changed in r4 — MUST be driver-visible
+    "dedup_segments",
+    "mix_stratified_sample",
+    "mix_pack_sequences",
+    "pipeline_representatives_murmur",
+    "compare_protein_pairs",
+    "sketch_protein_stats",
+    "sketch_dayhoff_stats",
+    "sketch_hp_stats",
+    "sketch_translate_stats",
+    "text_quality",
+    "compare_murmur_pairs",
+    "mh_compare_pairs",
+    "dedup_ngram_capped",
+    "gather_greedy_murmur",
+]
+
+
+def test_every_gate_has_an_oracle():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(q) == set(o), set(q) ^ set(o)
+
+
+def test_r4_gates_inside_driver_window():
+    import __spark_entry__ as e
+
+    head = list(e.queries())[:50]
+    missing = [g for g in R4_NEW_OR_CHANGED if g not in head]
+    assert not missing, f"gates over r4 code outside the 50-gate window: {missing}"
+
+
+def test_rotation_is_stable():
+    import __spark_entry__ as e
+
+    assert list(e.queries()) == list(e.queries())
