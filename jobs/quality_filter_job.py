@@ -7,6 +7,10 @@ table and writes the surviving rows plus per-stage drop lineage:
   2. Gopher quality     — repetition/length signals (text.gopher_quality)
   3. decontamination    — word n-gram overlap vs a benchmark table
                           (skipped when --benchmark is not given)
+  4. segment dedup      — CCNet-style repeated-segment removal: newline
+                          segments in >= --segment-min-df surviving docs
+                          stripped from all of them, text rewritten
+                          (off unless --segment-min-df > 0)
 
 Deploy:
     spark-submit --py-files sourmash_spark.zip jobs/quality_filter_job.py \
@@ -18,6 +22,8 @@ Deploy:
 Writes:
     <output>/filtered.parquet   surviving rows (all input columns)
     <output>/lineage.parquet    (stage, doc_id) for every dropped row
+                                (segment_dedup stage: docs whose text was
+                                rewritten, no row drop)
 Prints one summary JSON line.
 """
 
@@ -37,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-words", type=int, default=50)
+    ap.add_argument(
+        "--segment-min-df", type=int, default=0,
+        help="when > 0, add a final CCNet-style repeated-segment-removal "
+        "stage: newline-delimited segments appearing in >= this many "
+        "distinct surviving documents are stripped from all of them "
+        "(text rewritten in place; per-doc removal counts in lineage)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -85,6 +98,24 @@ def main(argv: list[str] | None = None) -> int:
         docs3 = docs2.join(contaminated, idc, "left_anti")
     else:
         docs3 = docs2
+
+    # 4. optional repeated-segment removal (rewrites text, drops no rows;
+    # lineage records per-doc removed-segment counts)
+    if args.segment_min_df > 0:
+        seg = dedup_ops.repeated_segment_removal(
+            docs3, id_col=idc, text_col=txt, min_df=args.segment_min_df
+        )
+        drops.append(
+            seg.filter(F.col("n_removed") > 0)
+            .select(idc)
+            .withColumn("stage", F.lit("segment_dedup"))
+        )
+        docs3 = (
+            docs3.drop(txt)
+            .join(
+                seg.select(idc, F.col("text_deduped").alias(txt)), idc
+            )
+        )
 
     docs3.write.mode("overwrite").parquet(f"{args.output}/filtered.parquet")
     lineage = drops[0]
