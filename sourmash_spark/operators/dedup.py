@@ -555,8 +555,12 @@ def repeated_segment_removal(
     )
     key = F.xxhash64("seg") if hash_segments else F.col("seg")
     segs = segs.select(id_col, "pos", "seg", key.alias("_k"))
+    # empty segments are structure, not content: they never join the
+    # repeated set (else two fully-emptied docs would share '' and the
+    # operator would lose its fixed point — see test_removal_is_idempotent)
     repeated = (
-        segs.groupBy("_k")
+        segs.filter(F.col("seg") != "")
+        .groupBy("_k")
         .agg(F.countDistinct(id_col).alias("_df"))
         .filter(F.col("_df") >= min_df)
         .select("_k")

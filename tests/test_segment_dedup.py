@@ -79,3 +79,39 @@ def test_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_removal_is_idempotent(spark):
+    """After one pass no segment is shared by min_df docs anymore, so a
+    second pass must be a no-op (CCNet semantics fixed-point)."""
+    docs = _docs(spark)
+    once = repeated_segment_removal(docs).select(
+        F.col("doc_id"), F.col("text_deduped").alias("text")
+    )
+    twice = repeated_segment_removal(once).collect()
+    # empty segments are excluded from the repeated set, so emptied docs
+    # (4 and the originally-empty 5) cannot re-trigger each other
+    assert all(r["n_removed"] == 0 for r in twice)
+
+
+def test_realistic_corpus_chunks(spark):
+    """The oracle-gate shape on real testdata: 12-word chunks, some
+    removed, totals consistent."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = docs.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    F.ceil(F.size(F.split("text", " ")) / 12.0), F.lit(1)
+                ).cast("int") - 1,
+            ),
+            lambda i: F.array_join(
+                F.slice(F.split("text", " "), i * 12 + 1, 12), " "
+            ),
+        ).alias("chunks"),
+    )
+    out = repeated_segment_removal(chunks, segments_col="chunks").collect()
+    assert len(out) == docs.count()
+    assert all(0 <= r["n_removed"] <= r["n_segments"] for r in out)
