@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
     # 4. optional repeated-segment removal (rewrites text, drops no rows;
     # lineage records per-doc removed-segment counts)
     if args.segment_min_df > 0:
+        # materialize the survivor set once: the segment stage self-joins
+        # docs3 with a plan derived from docs3, and the lineage write reads
+        # it a third time — without this the exact-dedup → gopher →
+        # decontaminate chain recomputes ~3x (ADVICE r4)
+        docs3 = docs3.localCheckpoint(eager=True)
         seg = dedup_ops.repeated_segment_removal(
             docs3, id_col=idc, text_col=txt, min_df=args.segment_min_df
         )

@@ -474,6 +474,19 @@ def ivf_assign_literal(
     )
 
 
+def _reseed_empty_cells(newC, empty, X, dmin):
+    """Reseed each empty Lloyd cell to a DISTINCT sample point, taken in
+    descending min-distance-to-current-centroids order (ascending index on
+    ties, so the choice is deterministic).  Reseeding every empty cell to
+    the same global argmax collapses them into duplicate centroids
+    (ADVICE r4).  Mutates `newC` in place."""
+    import numpy as np
+
+    order = np.argsort(-dmin, kind="stable")
+    for c, idx in zip(empty, order):
+        newC[c] = X[idx]
+
+
 def train_ivf_codebook(
     embs: DataFrame,
     n_cells: int = 16,
@@ -541,13 +554,15 @@ def train_ivf_codebook(
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)  # first (lowest cell id) wins ties
         newC = C.copy()
+        empty = []
         for c in range(k):
             members = X[assign == c]
             if len(members):
                 newC[c] = members.mean(axis=0)
             else:
-                # reseed an empty cell at the globally farthest point
-                newC[c] = X[d2.min(axis=1).argmax()]
+                empty.append(c)
+        if empty:
+            _reseed_empty_cells(newC, empty, X, d2.min(axis=1))
         shift = float(((newC - C) ** 2).sum(axis=1).max())
         C = newC
         if shift < tol:

@@ -124,7 +124,13 @@ def cap_postings(
         return p
     if len(head) <= CAP_LITERAL_MAX and len(key_cols) == 1:
         k = key_cols[0]
-        return p.filter(~F.col(k).isin([r[0] for r in head]))
+        # NULL keys must survive like they do under the left-anti branch
+        # (NOT-IN over a NULL yields NULL → filtered; anti join keeps the
+        # row).  In-package keys are non-null, but external callers must
+        # not see size-dependent NULL behavior (ADVICE r4).
+        return p.filter(
+            F.col(k).isNull() | ~F.col(k).isin([r[0] for r in head])
+        )
     return p.join(F.broadcast(hot_keys), key_cols, "left_anti")
 
 
@@ -160,6 +166,12 @@ def compare_all_pairs(
     no-op when n_sigs <= df_cap without any probe work; left None it is
     counted alongside the existing metadata job (or by one narrow count
     when `scaled` is passed).
+
+    EAGERNESS: unless both `scaled` and `n_sigs` are supplied (or
+    `df_cap=0`), building this plan runs one-to-two small driver actions
+    (a metadata agg and/or the cap_postings size probe) at CALL time, not
+    first-action time.  Plan-composition contexts that must stay fully
+    lazy should pass `scaled=..., n_sigs=...` or `df_cap=0`.
 
     `estimate_ani=True` appends the reference's `compare --estimate-ani`
     column (jaccard- or containment-derived ANI point per `mode`).

@@ -78,7 +78,11 @@ def minhash_pairs60(
     blowup; sizes stay full-sketch, so capped jaccard lower-bounds true
     jaccard.  Lineage: compare.df_cap_stats.  `n_docs` (if known) proves
     the cap a no-op for free when n_docs <= df_cap (sketch hashes are
-    per-doc distinct); left None it is one narrow count."""
+    per-doc distinct); left None it is one narrow count.
+
+    EAGERNESS: with df_cap on and n_docs None, building this plan runs a
+    small count (and possibly the cap_postings size probe) at CALL time;
+    lazy plan-composition callers pass n_docs or df_cap=0."""
     from .compare import cap_postings
 
     if df_cap and n_docs is None:
@@ -140,7 +144,11 @@ def ngram_jaccard_pairs(
     more than df_cap docs from the JOIN ONLY — per-doc gram counts stay
     full, so capped jaccard lower-bounds true jaccard (a boilerplate gram
     never creates O(df^2) pair rows nor inflates similarity).  Lineage:
-    compare.df_cap_stats(grams, df_cap, key="gram")."""
+    compare.df_cap_stats(grams, df_cap, key="gram").
+
+    EAGERNESS: with df_cap on and n_docs None, building this plan runs a
+    small count (and possibly the cap_postings size probe) at CALL time;
+    lazy plan-composition callers pass n_docs or df_cap=0."""
     from .compare import cap_postings
 
     # per-doc gram count rides the explode as a struct field — no separate

@@ -97,10 +97,18 @@ def pack_sequences(
         F.col(id_col), F.col(strata_col), n_tok.alias("n_tokens")
     ).withColumn("_cum", F.sum("n_tokens").over(w))
     start = F.col("_cum") - F.col("n_tokens")
+    # integer `div` keeps the arithmetic in longs end-to-end: at 10^12-row
+    # cumulative sums a double quotient loses ulps near 2^53 and can floor
+    # into the wrong pack at exact-multiple boundaries (ADVICE r4)
     return staged.select(
         id_col,
         strata_col,
         "n_tokens",
-        F.floor(start / budget).cast("long").alias("pack_id"),
-        (start % budget).cast("long").alias("pack_offset"),
+        start.alias("_start"),
+    ).select(
+        id_col,
+        strata_col,
+        "n_tokens",
+        F.expr(f"_start div {int(budget)}").cast("long").alias("pack_id"),
+        (F.col("_start") % budget).cast("long").alias("pack_offset"),
     )
