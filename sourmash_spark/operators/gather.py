@@ -17,7 +17,10 @@ Two-stage shape (mirrors the reference's own ">=4.1 prefetch design"):
 
 At 100 TB the expensive part is stage 1, which scales like `prefetch`
 (narrow scan, no shuffle).  Stage 2 state is a few MB of candidate hash
-arrays regardless of corpus size.
+arrays regardless of corpus size — and when it ISN'T (pathological
+candidate sweeps past the byte bound), `strategy="auto"` switches stage 2
+to a cluster-side per-round loop (_greedy_rounds_cluster: postings
+groupBy-count argmax + semi-join subtraction) with bit-identical results.
 """
 
 from __future__ import annotations
@@ -60,6 +63,89 @@ def _ani(c: float, k: int) -> float:
     return c ** (1.0 / k)
 
 
+def _gather_row(
+    found: np.ndarray,
+    orig_inter: int,
+    match_size: int,
+    remaining_size: int,
+    orig_len: int,
+    rank: int,
+    scaled: int,
+    ksize: int,
+    abund_map: dict | None,
+    total_weighted: int,
+    estimate_ani_ci: bool,
+) -> dict:
+    """One GatherResult row from per-round scalars — the SINGLE source of
+    the gather column math, shared bit-identically by the driver-state
+    greedy loop (_greedy_rounds) and the cluster-side per-round loop
+    (_greedy_rounds_cluster).  `found` is the winner's hashes intersected
+    with the remaining query (u64); `orig_inter` the winner's overlap with
+    the ORIGINAL query (GatherResult's `self.cmp` basis, search.py:929)."""
+    track_abund = abund_map is not None
+    f_match = _contained(found.size, match_size, scaled)
+    f_match_orig = _contained(orig_inter, match_size, scaled)
+    f_unique_to_query = found.size / orig_len if orig_len else 0.0
+    q_c = _contained(orig_inter, orig_len, scaled)
+    q_ani = _ani(q_c, ksize)
+    m_ani = _ani(f_match_orig, ksize)
+    if track_abund:
+        abunds = np.array(
+            [abund_map[h] for h in found.tolist()], dtype=np.int64
+        )
+        f_unique_weighted = (
+            float(abunds.sum()) / total_weighted if total_weighted else 0.0
+        )
+        average_abund = float(abunds.mean()) if abunds.size else None
+        median_abund = float(np.median(abunds)) if abunds.size else None
+        std_abund = float(abunds.std()) if abunds.size else None
+    else:
+        f_unique_weighted = f_unique_to_query
+        average_abund = median_abund = std_abund = None
+    row = {
+        "gather_result_rank": rank,
+        "intersect_bp": orig_inter * scaled,
+        "unique_intersect_bp": int(found.size) * scaled,
+        "f_orig_query": orig_inter / orig_len if orig_len else 0.0,
+        "f_match": f_match,
+        "f_match_orig": f_match_orig,
+        "f_unique_to_query": f_unique_to_query,
+        "f_unique_weighted": f_unique_weighted,
+        "average_abund": average_abund,
+        "median_abund": median_abund,
+        "std_abund": std_abund,
+        "query_abundance": track_abund,
+        "remaining_bp": int(remaining_size - found.size) * scaled,
+        "query_bp": orig_len * scaled,
+        "query_n_hashes": orig_len,
+        "ksize": ksize,
+        "scaled": scaled,
+        "query_containment_ani": q_ani,
+        "match_containment_ani": m_ani,
+        "average_containment_ani": (q_ani + m_ani) / 2.0,
+        "max_containment_ani": max(q_ani, m_ani),
+    }
+    if estimate_ani_ci:
+        from ..distances import containment_to_distance
+
+        q_res = containment_to_distance(
+            q_c, ksize, scaled, float(orig_len) * scaled, estimate_ci=True,
+        )
+        m_res = containment_to_distance(
+            f_match_orig, ksize, scaled, float(match_size) * scaled,
+            estimate_ci=True,
+        )
+        row.update(
+            {
+                "query_containment_ani_low": q_res.ani_low,
+                "query_containment_ani_high": q_res.ani_high,
+                "match_containment_ani_low": m_res.ani_low,
+                "match_containment_ani_high": m_res.ani_high,
+            }
+        )
+    return row
+
+
 def _greedy_rounds(
     query: np.ndarray,
     cands: dict,
@@ -96,7 +182,10 @@ def _greedy_rounds(
     orig_len = int(query.size)
     while cands and remaining.size:
         best_id, best_ov = None, -1
-        for cid in sorted(cands, key=lambda c: md5_of[c]):
+        # (md5, id) sort makes the equal-overlap tie-break deterministic
+        # even for duplicate-md5 collections — the cluster path's
+        # orderBy(desc overlap, asc md5, asc id) mirrors it exactly
+        for cid in sorted(cands, key=lambda c: (md5_of[c], c)):
             ov = int(np.intersect1d(cands[cid], remaining).size)
             if ov > best_ov:
                 best_id, best_ov = cid, ov
@@ -105,73 +194,133 @@ def _greedy_rounds(
         match = cands.pop(best_id)
         found = np.intersect1d(remaining, match)
         orig_inter = int(np.intersect1d(query, match).size)
-        f_match = _contained(found.size, match.size, scaled)
-        f_match_orig = _contained(orig_inter, match.size, scaled)
-        f_unique_to_query = found.size / orig_len if orig_len else 0.0
-        # original-query vs match, like self.cmp (GatherResult parity)
-        q_c = _contained(orig_inter, orig_len, scaled)
-        q_ani = _ani(q_c, ksize)
-        m_ani = _ani(f_match_orig, ksize)
-        if track_abund:
-            abunds = np.array(
-                [abund_map[h] for h in found.tolist()], dtype=np.int64
-            )
-            f_unique_weighted = (
-                float(abunds.sum()) / total_weighted if total_weighted else 0.0
-            )
-            average_abund = float(abunds.mean()) if abunds.size else None
-            median_abund = float(np.median(abunds)) if abunds.size else None
-            std_abund = float(abunds.std()) if abunds.size else None
-        else:
-            f_unique_weighted = f_unique_to_query
-            average_abund = median_abund = std_abund = None
-        results.append(
-            {
-                "sig_id": best_id,
-                "md5": md5_of[best_id],
-                "gather_result_rank": rank,
-                "intersect_bp": orig_inter * scaled,
-                "unique_intersect_bp": int(found.size) * scaled,
-                "f_orig_query": orig_inter / orig_len if orig_len else 0.0,
-                "f_match": f_match,
-                "f_match_orig": f_match_orig,
-                "f_unique_to_query": f_unique_to_query,
-                "f_unique_weighted": f_unique_weighted,
-                "average_abund": average_abund,
-                "median_abund": median_abund,
-                "std_abund": std_abund,
-                "query_abundance": track_abund,
-                "remaining_bp": int(remaining.size - found.size) * scaled,
-                "query_bp": orig_len * scaled,
-                "query_n_hashes": orig_len,
-                "ksize": ksize,
-                "scaled": scaled,
-                "query_containment_ani": q_ani,
-                "match_containment_ani": m_ani,
-                "average_containment_ani": (q_ani + m_ani) / 2.0,
-                "max_containment_ani": max(q_ani, m_ani),
-            }
+        row = _gather_row(
+            found, orig_inter, int(match.size), int(remaining.size),
+            orig_len, rank, scaled, ksize, abund_map, total_weighted,
+            estimate_ani_ci,
         )
-        if estimate_ani_ci:
-            from ..distances import containment_to_distance
-
-            q_res = containment_to_distance(
-                q_c, ksize, scaled, float(orig_len) * scaled,
-                estimate_ci=True,
-            )
-            m_res = containment_to_distance(
-                f_match_orig, ksize, scaled, float(match.size) * scaled,
-                estimate_ci=True,
-            )
-            results[-1].update(
-                {
-                    "query_containment_ani_low": q_res.ani_low,
-                    "query_containment_ani_high": q_res.ani_high,
-                    "match_containment_ani_low": m_res.ani_low,
-                    "match_containment_ani_high": m_res.ani_high,
-                }
-            )
+        row["sig_id"] = best_id
+        row["md5"] = md5_of[best_id]
+        results.append(row)
         remaining = np.setdiff1d(remaining, match)
+        rank += 1
+    return results, remaining
+
+
+def _greedy_rounds_cluster(
+    joined: DataFrame,
+    orig: np.ndarray,
+    scaled: int,
+    ksize: int,
+    min_hashes: int,
+    sig_id: str,
+    abund_map: dict | None = None,
+    estimate_ani_ci: bool = False,
+) -> tuple[list[dict], np.ndarray]:
+    """Cluster-side greedy min-set-cov — the regime where the candidate
+    hash arrays are too large for the driver (the reference's linear-DB
+    gather walks the whole database per round and has no such cliff,
+    doc/sourmash-internals.md:470-483; this path restores that
+    run-anywhere property at Spark scale).
+
+    The candidate hash arrays NEVER reach the driver.  They live as a
+    localCheckpointed (candidate, hashval) postings DataFrame; each round:
+
+    * overlap counts: postings left-semi-joined to the broadcast remaining
+      query, groupBy(candidate).count — ONE map-side-combined shuffle of
+      8-byte keys;
+    * winner: orderBy(overlap desc, md5 asc, id asc).limit(1) — the same
+      deterministic tie-break as the driver loop's (md5, id) sort;
+    * winner's found set: the winner's postings semi-joined to remaining —
+      at most |remaining| <= |query| values collected (the query was a
+      driver-side input to begin with);
+    * subtraction: remaining \\ found on the driver (equivalent to the
+      left-anti join — remaining IS the driver copy of the same set).
+
+    Driver state: remaining query + consumed ids + one row of scalars per
+    round — O(|query| + rounds), independent of candidate count and sketch
+    size.  Row math is _gather_row, shared with _greedy_rounds, so results
+    are bit-identical to the driver path.
+
+    Cost: O(rounds) jobs over the checkpointed postings.  The driver path
+    is faster when the state fits (one collect, numpy rounds) — use
+    strategy="auto" to get it whenever the byte bound admits it.
+    """
+    from ..hashing import u64_to_i64
+
+    spark = joined.sparkSession
+    postings = joined.select(
+        F.col(sig_id), F.explode("hashes").alias("hashval")
+    ).localCheckpoint(eager=True)
+    orig_len = int(orig.size)
+    track_abund = abund_map is not None
+    total_weighted = sum(abund_map.values()) if track_abund else orig_len
+
+    def _hash_df(u64_arr: np.ndarray):
+        return F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"hashval": u64_to_i64(u64_arr)}),
+                schema="hashval long",
+            )
+        )
+
+    # static per-candidate scalars vs the ORIGINAL query (one shuffle, no
+    # hash arrays): GatherResult's self.cmp basis is the original query
+    static = (
+        postings.join(_hash_df(orig), "hashval", "left_semi")
+        .groupBy(sig_id)
+        .agg(F.count("*").alias("orig_inter"))
+        .join(
+            joined.select(
+                F.col(sig_id), F.size("hashes").alias("match_size"),
+                "match_name", "match_md5",
+            ),
+            sig_id,
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    remaining = orig.copy()
+    consumed: list = []
+    results: list[dict] = []
+    rank = 0
+    while remaining.size:
+        rem_df = _hash_df(remaining)
+        live = postings
+        if consumed:
+            # bounded literal: one id per completed round
+            live = live.filter(~F.col(sig_id).isin(consumed))
+        matched = live.join(rem_df, "hashval", "left_semi")
+        winner = (
+            matched.groupBy(sig_id)
+            .agg(F.count("*").alias("overlap"))
+            .join(static, sig_id)
+            .orderBy(F.desc("overlap"), F.asc("match_md5"), F.asc(sig_id))
+            .limit(1)
+        )
+        # ONE action per round: the winner row (scalars) joined back to its
+        # matched postings — every returned row is a found hash carrying
+        # the winner's static scalars; <= |remaining| rows reach the driver
+        rows = matched.join(F.broadcast(winner), sig_id).collect()
+        if not rows:
+            break
+        w = rows[0]
+        if int(w["overlap"]) < min_hashes or int(w["overlap"]) <= 0:
+            break
+        found = np.unique(
+            i64_to_u64(np.array([r["hashval"] for r in rows], dtype=np.int64))
+        )
+        row = _gather_row(
+            found, int(w["orig_inter"]), int(w["match_size"]),
+            int(remaining.size), orig_len, rank, scaled, ksize, abund_map,
+            total_weighted, estimate_ani_ci,
+        )
+        row["sig_id"] = w[sig_id]
+        row["md5"] = w["match_md5"]
+        row["name"] = w["match_name"]
+        results.append(row)
+        remaining = np.setdiff1d(remaining, found)
+        consumed.append(w[sig_id])
         rank += 1
     return results, remaining
 
@@ -304,6 +453,7 @@ def _gather_rows(
     sig_id: str,
     estimate_ani_ci: bool,
     max_driver_bytes: int | None = None,
+    strategy: str = "auto",
 ) -> tuple[list[dict], np.ndarray]:
     """Candidate sweep + greedy rounds; returns (GatherResult row dicts,
     remaining query hashes in u64).
@@ -317,18 +467,25 @@ def _gather_rows(
     join — never a literal IN-list), the joined result is materialized
     cluster-side once (localCheckpoint), and the byte bound is checked
     with a tiny agg on the checkpoint BEFORE anything reaches the driver.
-    `max_driver_bytes` (default SOURMASH_SPARK_GATHER_MAX_DRIVER_BYTES or
-    4 GiB) turns the pathological regime (millions of candidates x 10k-hash
-    sketches) into a clear error instead of a driver OOM.
+    `max_driver_bytes` defaults to SOURMASH_SPARK_GATHER_MAX_DRIVER_BYTES
+    or 4 GiB.
 
-    Cluster-side alternative for that regime (design note): keep
-    (candidate, hashval) postings in a DataFrame; each round computes
-    argmax overlap with a groupBy(candidate).count over the remaining-hash
-    semi-join, subtracts the winner's hashes with a left-anti join, and
-    localCheckpoints the remainder.  That is O(rounds) shuffles of the
-    postings — correct but far slower for the common (bounded) case, which
-    is why the reference and this engine both keep the counter on the
-    driver."""
+    `strategy`:
+    * "auto" (default) — driver-state rounds when the candidate state fits
+      the byte bound (one collect + numpy rounds, the fast common case);
+      otherwise fall back to the cluster-side per-round loop
+      (_greedy_rounds_cluster) so the pathological regime RUNS instead of
+      erroring.
+    * "driver" — always driver-state; exceed the bound and it raises the
+      documented error (the pre-r5 behavior).
+    * "cluster" — always cluster-side; candidate hash arrays never reach
+      the driver (no bound check, no collect of arrays).
+
+    Both strategies produce bit-identical results: the row math is the
+    shared _gather_row, the tie-break is (overlap desc, md5 asc, id asc)
+    in both loops."""
+    if strategy not in ("auto", "driver", "cluster"):
+        raise ValueError(f"gather: unknown strategy {strategy!r}")
     min_hashes = max(1, int(threshold_bp / scaled)) if threshold_bp else 1
     if max_driver_bytes is None:
         import os
@@ -349,20 +506,49 @@ def _gather_rows(
         .select(sig_id, "match_name", "match_md5", "hashes")
         .localCheckpoint(eager=True)
     )
-    est = joined.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum(F.size("hashes")), F.lit(0)).alias("nh"),
-    ).first()
-    est_bytes = int(est["nh"]) * 8
-    if est_bytes > max_driver_bytes:
-        raise ValueError(
-            f"gather: candidate state ({est['n']} candidates, "
-            f"~{est_bytes / 1024**2:.0f} MiB of hashes) exceeds the driver "
-            f"bound ({max_driver_bytes / 1024**2:.0f} MiB). Raise "
-            "threshold_bp to shrink the candidate set, or raise "
-            "SOURMASH_SPARK_GATHER_MAX_DRIVER_BYTES; see _gather_rows's "
-            "docstring for the cluster-side per-round design."
+    use_cluster = strategy == "cluster"
+    if not use_cluster:
+        est = joined.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.size("hashes")), F.lit(0)).alias("nh"),
+        ).first()
+        est_bytes = int(est["nh"]) * 8
+        if est_bytes > max_driver_bytes:
+            if strategy == "auto":
+                use_cluster = True
+            else:
+                raise ValueError(
+                    f"gather: candidate state ({est['n']} candidates, "
+                    f"~{est_bytes / 1024**2:.0f} MiB of hashes) exceeds "
+                    "the driver "
+                    f"bound ({max_driver_bytes / 1024**2:.0f} MiB). Raise "
+                    "threshold_bp to shrink the candidate set, raise "
+                    "SOURMASH_SPARK_GATHER_MAX_DRIVER_BYTES, or use "
+                    'strategy="auto"/"cluster" for the cluster-side '
+                    "per-round loop."
+                )
+    if use_cluster:
+        orig = np.unique(
+            i64_to_u64(np.array(sorted(query_hashes), dtype=np.int64))
         )
+        if query_abunds is not None:
+            abund_map = dict(
+                zip(
+                    i64_to_u64(
+                        np.array(query_hashes, dtype=np.int64)
+                    ).tolist(),
+                    [int(a) for a in query_abunds],
+                )
+            )
+        else:
+            abund_map = None
+        results, remaining = _greedy_rounds_cluster(
+            joined, orig, scaled, ksize, min_hashes, sig_id,
+            abund_map=abund_map, estimate_ani_ci=estimate_ani_ci,
+        )
+        for r in results:
+            r["query_md5"] = query_md5
+        return results, remaining
     rows = joined.collect()
     cand_hashes = {
         r[sig_id]: i64_to_u64(np.array(r["hashes"], dtype=np.int64))
@@ -435,6 +621,7 @@ def gather_unassigned(
     query_abunds: list[int] | None = None,
     query_md5: str = "",
     sig_id: str = "sig_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """The `--output-unassigned` surface (commands.py:1094-1112): the query
     hashes left after the greedy loop, one row per hash with its abundance
@@ -446,7 +633,7 @@ def gather_unassigned(
     for both outputs instead of twice."""
     _, remaining = _gather_rows(
         db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
-        query_md5, sig_id, estimate_ani_ci=False,
+        query_md5, sig_id, estimate_ani_ci=False, strategy=strategy,
     )
     return _unassigned_df(spark, remaining, query_hashes, query_abunds)
 
@@ -462,16 +649,23 @@ def gather(
     query_md5: str = "",
     sig_id: str = "sig_id",
     estimate_ani_ci: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Greedy decomposition; returns GatherResult-shaped rows in rank order
     (column parity with search.py:482-524).  `estimate_ani_ci` appends the
     reference's ci_cols — query/match_containment_ani_low/high — computed
     like GatherResult.handle_ani_ci from the ORIGINAL-query vs match
     comparison (search.py:419-434; `self.cmp` is built from
-    `self.orig_query`, search.py:929)."""
+    `self.orig_query`, search.py:929).
+
+    `strategy`: "auto" (driver-state rounds when the candidate state fits
+    the byte bound, cluster-side per-round loop otherwise), "driver"
+    (pre-r5 behavior: raise past the bound), or "cluster" (candidate hash
+    arrays never reach the driver) — see _gather_rows; results are
+    bit-identical across strategies."""
     results, _remaining = _gather_rows(
         db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
-        query_md5, sig_id, estimate_ani_ci,
+        query_md5, sig_id, estimate_ani_ci, strategy=strategy,
     )
     return _results_df(spark, results, estimate_ani_ci)
 
@@ -517,6 +711,7 @@ def gather_with_unassigned(
     query_md5: str = "",
     sig_id: str = "sig_id",
     estimate_ani_ci: bool = False,
+    strategy: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """The reference CLI's `gather --output-unassigned` shape: BOTH the
     GatherResult rows and the leftover-hash table from a SINGLE prefetch +
@@ -526,7 +721,7 @@ def gather_with_unassigned(
     collect, greedy rounds) is never repeated."""
     results, remaining = _gather_rows(
         db, query_hashes, scaled, ksize, threshold_bp, query_abunds,
-        query_md5, sig_id, estimate_ani_ci,
+        query_md5, sig_id, estimate_ani_ci, strategy=strategy,
     )
     return (
         _results_df(spark, results, estimate_ani_ci),

@@ -85,6 +85,23 @@ class MinHash:
         for i in range(len(data) - self.ksize + 1):
             self.add_hash(hash_murmur(data[i : i + self.ksize], self.seed))
 
+    def add_dna(self, text: str | bytes) -> None:
+        """Canonical DNA path: ASCII-uppercase, hash min(kmer, revcomp)
+        per window (signature.rs:268-306, COMPLEMENT encodings.rs:85-101);
+        windows containing any non-ACGT byte are skipped — the reference's
+        force=True semantics for N/invalid bases."""
+        if isinstance(text, str):
+            text = text.encode("utf-8")
+        data = bytes(b - 32 if 97 <= b <= 122 else b for b in text)
+        comp = {65: 84, 67: 71, 71: 67, 84: 65}  # A<->T, C<->G
+        k = self.ksize
+        for i in range(len(data) - k + 1):
+            kmer = data[i : i + k]
+            if any(c not in comp for c in kmer):
+                continue
+            krc = bytes(comp[c] for c in reversed(kmer))
+            self.add_hash(hash_murmur(min(kmer, krc), self.seed))
+
     def add_protein(self, text: str | bytes) -> None:
         """Amino-acid path: map each residue through the moltype's table
         (identity / dayhoff / hp; no case normalization, unmapped -> 'X'),
@@ -384,6 +401,8 @@ def sketch_text(text: str, params: SketchParams) -> MinHash:
             mh.add_sequence_translate(text)
         else:
             mh.add_protein(text)
+    elif params.moltype.lower() == "dna":
+        mh.add_dna(text)
     else:
         mh.add_sequence(text)
     return mh

@@ -8,22 +8,32 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-R4_NEW_OR_CHANGED = [
-    # gates over code paths added or changed in r4 — MUST be driver-visible
-    "dedup_segments",
-    "mix_stratified_sample",
-    "mix_pack_sequences",
-    "pipeline_representatives_murmur",
-    "compare_protein_pairs",
-    "sketch_protein_stats",
-    "sketch_dayhoff_stats",
-    "sketch_hp_stats",
-    "sketch_translate_stats",
-    "text_quality",
+R5_NEW_OR_CHANGED = [
+    # gates over code paths added or changed in r5 — MUST be driver-visible
+    "gather_cluster_murmur",      # new: cluster-side per-round gather
+    "sketch_dna_stats",           # new: canonical-DNA batched-N gate
+    "stream_ingest_edges",        # new: streaming-ingest == batch edges
+    "gather_greedy_murmur",       # gather.py tie-break refactor
+    "gather_weighted_murmur",
+    "gather_unassigned_murmur",
+    "multigather_murmur",
+    "multigather_weighted_murmur",
+    "mh_compare_pairs",           # compare.py cap_postings NULL-key fix
     "compare_murmur_pairs",
-    "mh_compare_pairs",
+    "dedup_ngram_jaccard",
     "dedup_ngram_capped",
-    "gather_greedy_murmur",
+    "mix_pack_sequences",         # mix.py integer-div pack_id
+    "ann_ivf_topk",               # ann.py reseed refactor neighborhood
+]
+
+# VERDICT r4 #4: every round must rotate >=10 previously-unwitnessed gates
+# into the driver window
+R5_PROMOTED = [
+    "dedup_simhash", "simhash_near_pairs", "simhash_blockpairs",
+    "text_gopher_quality", "text_decontaminate", "text_langid",
+    "hll_pairwise_by_source", "events_windowed", "multimodal_features",
+    "picklist_exclude", "tax_metagenome_murmur", "lca_classify_murmur",
+    "dedup_exact",
 ]
 
 
@@ -34,12 +44,27 @@ def test_every_gate_has_an_oracle():
     assert set(q) == set(o), set(q) ^ set(o)
 
 
-def test_r4_gates_inside_driver_window():
+def test_r5_gates_inside_driver_window():
     import __spark_entry__ as e
 
     head = list(e.queries())[:50]
-    missing = [g for g in R4_NEW_OR_CHANGED if g not in head]
-    assert not missing, f"gates over r4 code outside the 50-gate window: {missing}"
+    missing = [g for g in R5_NEW_OR_CHANGED if g not in head]
+    assert not missing, f"gates over r5 code outside the 50-gate window: {missing}"
+
+
+def test_r5_rotation_promotes_at_least_ten():
+    """>=10 gates absent from the r4 driver record must now sit in the
+    first-50 window (plus the 3 brand-new r5 gates)."""
+    import json
+
+    import __spark_entry__ as e
+
+    r4 = set(json.load(open("/root/repo/CORRECTNESS_r04.json")))
+    head = list(e.queries())[:50]
+    promoted = [g for g in head if g not in r4]
+    assert len(promoted) >= 13, promoted
+    missing = [g for g in R5_PROMOTED if g not in head]
+    assert not missing, f"scheduled promotions outside the window: {missing}"
 
 
 def test_rotation_is_stable():

@@ -46,6 +46,34 @@ def test_fixture_matches_spark_sketches(spark, label):
         assert list(a) == list(b)
 
 
+@pytest.mark.parametrize("label", list(FIXTURES))
+def test_dna_fixture_matches_spark_sketches(spark, label):
+    """DNA twin of the murmur fixture identity: the canonical-DNA fixture
+    (scalar oracle add_dna — min(kmer, revcomp), N-windows skipped) must be
+    bit-identical to the vectorized batched-N Spark path over the same
+    DNA-ized documents (the r4 high-severity fix's branch)."""
+    path = f"/root/repo/fixtures/dna_sf{label}.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {path} not generated (run tools/make_fixtures.py)")
+    import __spark_entry__ as e
+
+    sigs = (
+        e._dna_sigs(spark, FIXTURES[label])
+        .select("sig_id", "md5", "n_hashes", "hashes")
+        .toPandas()
+        .sort_values("sig_id")
+        .reset_index(drop=True)
+    )
+    fix = duckdb.sql(f"SELECT * FROM '{path}' ORDER BY sig_id").df()
+    assert list(sigs.sig_id) == list(fix.sig_id)
+    assert list(sigs.md5) == list(fix.md5)
+    assert list(sigs.n_hashes) == list(fix.n_hashes)
+    for a, b in zip(sigs.hashes, fix.hashes):
+        assert list(a) == list(b)
+    # the N-mapping really produces invalid windows (the point of the gate)
+    assert (fix.n_hashes > 0).any()
+
+
 def test_band_range_arithmetic_is_exact(spark):
     """The OPH range index must be exact long arithmetic — float division
     would round near-boundary hashes at 2**61 magnitude and disagree with

@@ -170,3 +170,67 @@ def main_protein() -> None:
             f"{out}: {len(ids)} sketches, "
             f"{sum(ns)} hashes, {time.time()-t0:.1f}s"
         )
+
+
+# ---------------------------------------------------------------------------
+# DNA fixture (round 5): (sig_id, md5, n_hashes, hashes) per document for
+# the canonical-DNA sketching gate.  Text is deterministically DNA-ized
+# with A..Z -> cycling "ACGTN" — every 5th letter becomes an 'N' base, so
+# the fixture exercises the invalid-base window-skipping path end-to-end
+# (the r4 high-severity bug lived exactly there: batched non-ACGT slicing,
+# sketch.py:95-106).  Spaces/punctuation survive and are likewise invalid.
+# Sketching is the scalar oracle's add_dna (min(kmer, revcomp) per valid
+# window), independent of the vectorized engine; engine<->fixture
+# bit-identity is pinned in tests/test_murmur_fixture.py.
+# ---------------------------------------------------------------------------
+
+DNA_KSIZE = 9
+DNA_SCALED = 8
+# A..Z -> cycling ACGT, except 'N' stays 'N' (~4% of document letters) so
+# a realistic fraction (~30%) of k=9 windows contains an invalid base;
+# non-letters are stripped first (else spaces would invalidate nearly
+# every window of word-sized runs)
+DNAIZE_N = "".join(
+    "N" if ch == "N" else "ACGT"[i % 4] for i, ch in enumerate(LETTERS)
+)
+_DNAIZE_N_TRANS = str.maketrans(LETTERS, DNAIZE_N)
+
+import re  # noqa: E402
+
+_RE_NON_ALPHA = re.compile("[^A-Z]")
+
+
+def main_dna() -> None:
+    params = SketchParams(ksize=DNA_KSIZE, scaled=DNA_SCALED, moltype="DNA")
+    for label, sf_dir in SF_DIRS.items():
+        t0 = time.time()
+        docs = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ids, md5s, ns, hash_lists = [], [], [], []
+        for doc_id, text in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+        ):
+            src = _RE_NON_ALPHA.sub("", (text or "").upper()).translate(
+                _DNAIZE_N_TRANS
+            )
+            mh = sketch_text(src, params)
+            mins_u = np.array(mh.mins, dtype=np.uint64)
+            ids.append(int(doc_id))
+            md5s.append(mh.md5sum())
+            ns.append(len(mh))
+            hash_lists.append(u64_to_i64(mins_u).tolist())
+        table = pa.table(
+            {
+                "sig_id": pa.array(ids, pa.int64()),
+                "md5": pa.array(md5s, pa.string()),
+                "n_hashes": pa.array(ns, pa.int32()),
+                "hashes": pa.array(hash_lists, pa.list_(pa.int64())),
+            }
+        )
+        out = f"/root/repo/fixtures/dna_sf{label}.parquet"
+        pq.write_table(table, out, compression="zstd")
+        print(
+            f"{out}: {len(ids)} sketches, "
+            f"{sum(ns)} hashes, {time.time()-t0:.1f}s"
+        )
