@@ -1,16 +1,18 @@
 """Multimodal columns: image/audio/video as opaque `binary` + typed metadata.
 
 The decode/feature-extraction libraries are not in this container, so the
-decode step is a clearly-marked deterministic fake — but the Spark-side
+DEFAULT decoder is a clearly-marked deterministic fake — but the Spark-side
 plumbing is real and tested: schema, Arrow batching via mapInPandas, batch
-shapes, partitioning.  Swap `_fake_decode` for a real decoder (PIL/ffmpeg)
-on a cluster with the libs installed.
+shapes, partitioning.  A real decoder (PIL/ffmpeg -> model features) plugs
+in via the `decoder` parameter of `extract_features`; any implementation
+must satisfy `check_decoder_contract` (shape/dtype/None-handling/
+determinism) — the contract the fake itself is tested against.
 """
 
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -20,6 +22,9 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
 FEATURE_DIM = 16
+
+# a decoder maps one opaque media payload to a fixed-length feature vector
+Decoder = Callable[[bytes | None], np.ndarray]
 
 
 def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -36,7 +41,7 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> np.ndarray:
+def _fake_decode(payload: bytes | None) -> np.ndarray:
     """DETERMINISTIC FAKE of an image decode + feature extraction.
     Real implementation would be: PIL.Image.open -> resize -> model
     features.  Here: sha256-seeded pseudo-features, stable across runs."""
@@ -47,12 +52,66 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return (arr.astype(np.float32) / 255.0).astype(np.float32)
 
 
+def check_decoder_contract(
+    decoder: Decoder,
+    feature_dim: int = FEATURE_DIM,
+    sample_payloads: list[bytes] | None = None,
+) -> None:
+    """Validate the contract every `extract_features` decoder must hold —
+    run this BEFORE shipping a real decoder to a cluster:
+
+    * returns a 1-D numpy array of exactly `feature_dim` float32s for any
+      payload (executors build a fixed-width array<float> column from it);
+    * handles `payload=None` (nullable binary columns) without raising;
+    * is DETERMINISTIC: equal payload bytes -> bit-equal features (dedup /
+      caching / resumed jobs all assume it).
+
+    Raises ValueError on the first violation; returns None when compliant.
+    """
+    payloads: list[bytes | None] = list(
+        sample_payloads
+        if sample_payloads is not None
+        else [b"", b"probe", b"\x00\xff" * 37]
+    )
+    payloads.append(None)
+    for p in payloads:
+        a, b = decoder(p), decoder(p)
+        for out in (a, b):
+            if not isinstance(out, np.ndarray):
+                raise ValueError(
+                    f"decoder returned {type(out).__name__}, want ndarray"
+                )
+            if out.shape != (feature_dim,):
+                raise ValueError(
+                    f"decoder shape {out.shape}, want ({feature_dim},)"
+                )
+            if out.dtype != np.float32:
+                raise ValueError(
+                    f"decoder dtype {out.dtype}, want float32"
+                )
+        if not np.array_equal(a, b):
+            raise ValueError(
+                f"decoder is nondeterministic for payload {p!r}"
+            )
+
+
 def extract_features(
-    df: DataFrame, media_col: str = "media", keep_cols: list[str] | None = None
+    df: DataFrame,
+    media_col: str = "media",
+    keep_cols: list[str] | None = None,
+    decoder: Decoder | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over the binary column — the real
     production shape (mapInPandas; one Python worker call per batch, not
-    per row)."""
+    per row).
+
+    `decoder` (default: the labeled deterministic fake) is any callable
+    satisfying `check_decoder_contract`; it is validated once at plan-build
+    time so a non-compliant decoder fails fast on the driver instead of
+    mid-job on an executor."""
+    decode = decoder if decoder is not None else _fake_decode
+    if decoder is not None:
+        check_decoder_contract(decode)
     keep = keep_cols or [c for c in df.columns if c != media_col]
     schema = T.StructType(
         [df.schema[c] for c in keep]
@@ -62,9 +121,7 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[keep].copy()
-            out["features"] = [
-                _fake_decode(p) for p in pdf[media_col]
-            ]
+            out["features"] = [decode(p) for p in pdf[media_col]]
             yield out
 
     return df.select(*keep, media_col).mapInPandas(run, schema)
