@@ -179,15 +179,25 @@ def main() -> None:
         ).count(),
     )
 
-    from sourmash_spark.operators.ann import embedding_neardup_lsh, perturb_copies
+    from sourmash_spark.operators.ann import (
+        embedding_neardup_lsh,
+        neardup_lsh_params,
+        perturb_copies,
+    )
 
     aug = perturb_copies(embs, n_copies=50, dim=entrymod.EMB_DIM).cache()
-    aug.count()
+    n_aug = aug.count()
+    # (T, q) scale with N (q ~ log2 N keeps bucket population constant,
+    # T holds recall) — at sf0.1 this IS the published (8, 6) base config
+    lsh_t, lsh_q = neardup_lsh_params(
+        n_aug, threshold=0.9,
+        base_tables=entrymod.EMB_TABLES, base_planes=entrymod.EMB_PLANES,
+    )
     timed(
         "emb_neardup_lsh",
         lambda: embedding_neardup_lsh(
-            aug, threshold=0.9, n_tables=entrymod.EMB_TABLES,
-            n_planes=entrymod.EMB_PLANES, dim=entrymod.EMB_DIM,
+            aug, threshold=0.9, n_tables=lsh_t,
+            n_planes=lsh_q, dim=entrymod.EMB_DIM,
         ).count(),
     )
     # NOTE: aug stays cached through the timing sweeps (queries execute

@@ -38,6 +38,63 @@ def test_neardup_lsh_recall_vs_bruteforce(spark):
     assert got <= exact
 
 
+def test_neardup_lsh_params_scaling_law():
+    """VERDICT r4 #2: (T, q) must scale with N — q ~ log2(N) keeps bucket
+    population (and candidate volume per vector) constant; T holds the
+    analytic recall of the base configuration."""
+    import math
+
+    from sourmash_spark.operators.ann import neardup_lsh_params
+
+    # at-or-below base N: published base config unchanged
+    assert neardup_lsh_params(5_050) == (8, 6)
+    assert neardup_lsh_params(100) == (8, 6)
+
+    p = 1.0 - math.acos(0.9) / math.pi
+    # analytic WORST-CASE recall for pairs at exactly cosine==threshold;
+    # the measured >=0.99 corpus gate (true pairs sit well above 0.9) is
+    # asserted by test_neardup_lsh_scaled_params_keep_recall
+    base_recall = 1.0 - (1.0 - p**6) ** 8
+    assert base_recall >= 0.98
+    for factor in (10, 30, 100, 1000):
+        t, q = neardup_lsh_params(5_050 * factor)
+        # q tracks log2(N/base)
+        assert q == 6 + round(math.log2(factor))
+        # expected bucket population ~constant: N / 2^q within 2x of base
+        assert 5_050 * factor / 2**q <= 2 * 5_050 / 2**6
+        # analytic worst-case recall never below the base configuration's
+        # (up to the ceil() granularity of T)
+        recall = 1.0 - (1.0 - p**q) ** t
+        assert recall >= base_recall - 1e-9
+        # and the table count stays affordable: ~(1/p)^dq growth, never
+        # anything like the naive candidate blowup it prevents
+        assert t <= 2 * 8 * (1 / p) ** (q - 6)
+
+
+def test_neardup_lsh_scaled_params_keep_recall(spark):
+    """The recall gate holds under the N-SCALED parameters, not just the
+    base ones: force the next scale step's (T, q) on the test corpus."""
+    from sourmash_spark.operators.ann import neardup_lsh_params
+
+    t, q = neardup_lsh_params(50_500)  # one 10x step up
+    assert (t, q) != (8, 6)
+    aug = _aug(spark).cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(aug, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ann_ops.embedding_neardup_lsh(
+            aug, threshold=0.9, n_tables=t, n_planes=q, dim=DIM
+        ).collect()
+    }
+    assert exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.99
+    assert got <= exact
+
+
 def test_lsh_pairs_are_candidate_bounded(spark):
     """The LSH path must examine only bucket-sharing candidates — with one
     plane table and many planes, far fewer than N^2."""
