@@ -220,7 +220,13 @@ def cosine_topk(
     query_id: str = "query_id",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-matches on id
-    excluded).  Query side is broadcast; ranking is a per-query window."""
+    excluded).  Query side is broadcast; ranking is a per-query window.
+
+    This is the BRUTE-FORCE baseline: the broadcast crossJoin scans the
+    full corpus once per query batch — O(N x Q).  Intended for small query
+    sets and as the recall referee; at corpus scale or with a large query
+    table use `hyperplane_lsh_topk` / `ivf_topk` (candidates bounded by
+    buckets/cells, never a full scan)."""
     q = F.broadcast(
         queries.select(
             F.col(query_id), F.col(vec_col).alias("qv")
