@@ -366,7 +366,7 @@ def neardup_lsh_params(
     threshold: float = 0.9,
     base_tables: int = 8,
     base_planes: int = 6,
-    base_n: int = 5_050,
+    base_n: int = 2_050,
 ) -> tuple[int, int]:
     """N-scaled (n_tables, n_planes) for embedding_neardup_lsh — VERDICT
     r4 #2: fixed (T, q) lets bucket populations grow ~linearly with N, so
@@ -389,7 +389,7 @@ def neardup_lsh_params(
     threshold 0.9 — bucketing work per vector (T*q dots) grows ~15x while
     the naive fixed-parameter candidate volume would grow ~1000x.
 
-    `base_n` defaults to the sf0.1 bench corpus (5000 embeddings + 50
+    `base_n` defaults to the sf0.1 bench corpus (2000 embeddings + 50
     perturbed copies) so the base configuration is exactly the published
     r1-r4 bench plan at that scale; below base_n the base (T, q) is
     returned unchanged.

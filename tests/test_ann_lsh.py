@@ -47,7 +47,7 @@ def test_neardup_lsh_params_scaling_law():
     from sourmash_spark.operators.ann import neardup_lsh_params
 
     # at-or-below base N: published base config unchanged
-    assert neardup_lsh_params(5_050) == (8, 6)
+    assert neardup_lsh_params(2_050) == (8, 6)
     assert neardup_lsh_params(100) == (8, 6)
 
     p = 1.0 - math.acos(0.9) / math.pi
@@ -57,11 +57,11 @@ def test_neardup_lsh_params_scaling_law():
     base_recall = 1.0 - (1.0 - p**6) ** 8
     assert base_recall >= 0.98
     for factor in (10, 30, 100, 1000):
-        t, q = neardup_lsh_params(5_050 * factor)
+        t, q = neardup_lsh_params(2_050 * factor)
         # q tracks log2(N/base)
         assert q == 6 + round(math.log2(factor))
         # expected bucket population ~constant: N / 2^q within 2x of base
-        assert 5_050 * factor / 2**q <= 2 * 5_050 / 2**6
+        assert 2_050 * factor / 2**q <= 2 * 2_050 / 2**6
         # analytic worst-case recall never below the base configuration's
         # (up to the ceil() granularity of T)
         recall = 1.0 - (1.0 - p**q) ** t
@@ -76,7 +76,7 @@ def test_neardup_lsh_scaled_params_keep_recall(spark):
     base ones: force the next scale step's (T, q) on the test corpus."""
     from sourmash_spark.operators.ann import neardup_lsh_params
 
-    t, q = neardup_lsh_params(50_500)  # one 10x step up
+    t, q = neardup_lsh_params(20_500)  # one 10x step up
     assert (t, q) != (8, 6)
     aug = _aug(spark).cache()
     exact = {

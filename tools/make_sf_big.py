@@ -99,34 +99,42 @@ def main() -> None:
     )
 
     embs = spark.read.parquet(f"{SRC}/embeddings.parquet").crossJoin(copies)
-    # deterministic per-(vec, dim, copy) perturbation: frac(sin(...)*43758.5)
+    # Per-copy ORTHOGONAL transform (c-seeded dimension permutation + sign
+    # flips) instead of additive noise: orthogonal maps preserve every
+    # within-copy cosine BIT-exactly (the planted near-dup structure
+    # replicates per copy) while cross-copy cosines become ~random.  The
+    # r4 additive-noise version left every copy angularly correlated with
+    # copy 0, so the corpus grew ~factor x MORE DUP-DENSE instead of
+    # factor x LARGER — true >=0.9 pairs grew ~500x at 30x N and the ANN
+    # scale study measured dup-density growth, not corpus growth.
     idx = F.sequence(F.lit(0), F.size("embedding") - 1)
-    noise = F.zip_with(
-        F.col("embedding"),
-        idx,
-        lambda v, j: v
-        + F.when(F.col("_c") == 0, F.lit(0.0)).otherwise(
-            0.3
-            * (
-                F.sin(
-                    F.col("vec_id") * 12.9898
-                    + j.cast("double") * 78.233
-                    + F.col("_c") * 37.719
-                )
-                * 43758.5453
-                % 1.0
-                - 0.5
+    # permutation: dim j reads source dim perm[j], where perm = indices
+    # sorted by xxhash64(copy, j) — a c-seeded permutation, identity-free
+    # for c > 0 and never applied at c == 0
+    perm = F.transform(
+        F.array_sort(
+            F.transform(
+                idx,
+                lambda j: F.struct(
+                    F.xxhash64(F.col("_c"), j).alias("k"), j.alias("j")
+                ),
             )
         ),
+        lambda s: s["j"],
     )
-    norm = F.sqrt(
-        F.aggregate(noise, F.lit(0.0), lambda a, x: a + x * x)
+    transformed = F.zip_with(
+        perm,
+        idx,
+        lambda src, j: F.element_at(F.col("embedding"), src + 1)
+        * F.when(F.xxhash64(F.col("_c"), j, F.lit("s")) % 2 == 0, 1.0)
+        .otherwise(-1.0),
+    )
+    vec = F.when(F.col("_c") == 0, F.col("embedding")).otherwise(
+        F.transform(transformed, lambda x: x.cast("float"))
     )
     embs.select(
         (F.col("vec_id") + F.col("_c") * STRIDE).alias("vec_id"),
-        F.transform(noise, lambda x: (x / norm).cast("float")).alias(
-            "embedding"
-        ),
+        vec.alias("embedding"),
         "label",
     ).repartition(32).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
