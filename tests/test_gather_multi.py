@@ -329,6 +329,29 @@ def test_gather_cluster_strategy_bit_identical(spark, sigs, oracle_sketches):
     assert (driver_rem == auto_rem).all()
 
 
+def test_gather_cluster_strategy_edge_cases(spark, sigs, oracle_sketches):
+    """Empty query and no-candidate query must return clean empties from
+    BOTH strategies (schema intact, no crash)."""
+    from sourmash_spark.operators.gather import gather
+
+    for strategy in ("driver", "cluster"):
+        # hashes that no db sketch contains -> prefetch yields no candidates
+        out = gather(
+            spark, sigs, [3, 5, 7], scaled=PARAMS.scaled,
+            ksize=PARAMS.ksize, threshold_bp=PARAMS.scaled,
+            strategy=strategy,
+        )
+        assert out.count() == 0
+        assert "gather_result_rank" in out.columns
+
+        # empty query
+        out2 = gather(
+            spark, sigs, [], scaled=PARAMS.scaled, ksize=PARAMS.ksize,
+            strategy=strategy,
+        )
+        assert out2.count() == 0
+
+
 def test_gather_cluster_strategy_abund_and_ci(spark, sigs, oracle_sketches):
     """Abundance-weighted columns and ANI CI columns must also agree
     bit-exactly between the two loops."""
