@@ -143,6 +143,28 @@ def main() -> None:
         ).count(),
     )
 
+    # many-query gather (r5): 32 composite queries decomposed in parallel
+    # via applyInPandas — the per-round regression track for the gather
+    # family (full 128-query sf1 distribution: tools/bench_multigather.py)
+    def q_multigather():
+        from sourmash_spark.operators.gather import multigather
+
+        queries_df = (
+            sigs_cached.filter(F.col("sig_id") < 128)
+            .select(
+                F.floor(F.col("sig_id") / 4).cast("long").alias("query_id"),
+                F.explode("hashes").alias("h"),
+            )
+            .groupBy("query_id")
+            .agg(F.array_sort(F.collect_set("h")).alias("hashes"))
+        )
+        return multigather(
+            queries_df, sigs_cached, scaled=P.scaled, ksize=P.ksize,
+            threshold_bp=3 * P.scaled,
+        ).count()
+
+    timed("multigather_32q", q_multigather)
+
     from sourmash_spark.session import ensure_parallelism
 
     docs = ensure_parallelism(
