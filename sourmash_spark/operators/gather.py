@@ -207,6 +207,13 @@ def _greedy_rounds(
     return results, remaining
 
 
+# Past this many unfolded rounds the cluster loop bakes the consumed-id
+# NOT-IN literal into a fresh postings checkpoint and resets the list, so
+# per-round plan size stays O(this) no matter how many rounds run (the
+# pathological regime the cluster path exists for can run thousands).
+_CLUSTER_COMPACT_EVERY = 64
+
+
 def _greedy_rounds_cluster(
     joined: DataFrame,
     orig: np.ndarray,
@@ -285,10 +292,16 @@ def _greedy_rounds_cluster(
     results: list[dict] = []
     rank = 0
     while remaining.size:
+        if len(consumed) >= _CLUSTER_COMPACT_EVERY:
+            postings = postings.filter(
+                ~F.col(sig_id).isin(consumed)
+            ).localCheckpoint(eager=True)
+            consumed = []
         rem_df = _hash_df(remaining)
         live = postings
         if consumed:
-            # bounded literal: one id per completed round
+            # bounded literal: one id per completed round, compacted above
+            # (keys are join outputs — never NULL, so NOT-IN is exact)
             live = live.filter(~F.col(sig_id).isin(consumed))
         matched = live.join(rem_df, "hashval", "left_semi")
         winner = (

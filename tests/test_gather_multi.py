@@ -376,3 +376,37 @@ def test_gather_cluster_strategy_abund_and_ci(spark, sigs, oracle_sketches):
         assert set(a) == set(b)
         for key in a:
             assert a[key] == b[key], key
+
+
+def test_gather_cluster_compaction_bit_identical(
+    spark, sigs, oracle_sketches, monkeypatch
+):
+    """The consumed-id literal compaction (re-checkpoint every
+    _CLUSTER_COMPACT_EVERY rounds) must not change results: force a
+    compaction after EVERY round and require bit-identity with the
+    driver loop on a multi-round query."""
+    from sourmash_spark.operators import gather as gmod
+
+    monkeypatch.setattr(gmod, "_CLUSTER_COMPACT_EVERY", 1)
+
+    mh = oracle_sketches[0].copy()
+    for m in (10, 30, 45):
+        mh.merge(oracle_sketches[m])
+    qh = u64_to_i64(np.array(mh.mins, dtype=np.uint64)).tolist()
+
+    driver_res, driver_rem = gmod._gather_rows(
+        sigs, qh, PARAMS.scaled, PARAMS.ksize, PARAMS.scaled * 3,
+        None, "qmd5", "sig_id", False, strategy="driver",
+    )
+    cluster_res, cluster_rem = gmod._gather_rows(
+        sigs, qh, PARAMS.scaled, PARAMS.ksize, PARAMS.scaled * 3,
+        None, "qmd5", "sig_id", False, strategy="cluster",
+    )
+    assert driver_res
+    assert len(driver_res) >= 2, "needs multiple rounds to exercise compaction"
+    assert len(cluster_res) == len(driver_res)
+    for a, b in zip(driver_res, cluster_res):
+        assert set(a) == set(b)
+        for key in a:
+            assert a[key] == b[key], key
+    assert (driver_rem == cluster_rem).all()
