@@ -121,17 +121,70 @@ def metagenome_summary(
     """`tax metagenome` csv_summary shape: the per-rank rollups for every
     requested rank plus one `unclassified` remainder row per (query, rank)
     where the classified fractions do not reach 1 (build_summarized_result).
-    Requires a `query_bp` column on `gather` for the bp remainder."""
-    ranks = ranks or _ranks_in(lineage)
-    parts = [
-        summarize_by_rank(
-            gather, lineage, r, query_col, ident_col, lin_ident
+    Requires a `query_bp` column on `gather` for the bp remainder.
+
+    One pass for ALL ranks: gather ⋈ broadcast lineage once, then one
+    explode of per-rank (rank, prefix-key, display) structs feeds a single
+    groupBy — the per-rank union of `summarize_by_rank` plans produced the
+    same rows from one join + one shuffle + one agg PER RANK (3× the
+    gather-side scans, ~3× the stages).  Grouping is by the null-safe
+    lineage-prefix tuple (`_key`), not the display string, matching
+    summarize_by_rank's groupBy on the raw prefix columns (the reference's
+    summarize_up_ranks groups by the truncated lineage tuple; two prefixes
+    that render to the same display must NOT merge)."""
+    all_ranks = _ranks_in(lineage)
+    ranks = ranks or all_ranks
+    for r in ranks:
+        if r not in all_ranks:
+            raise ValueError(
+                f"rank {r!r} not in lineage table (have {all_ranks})"
+            )
+    lin = F.broadcast(
+        lineage.select(F.col(lin_ident).alias(ident_col), *all_ranks)
+    )
+    structs = []
+    for r in ranks:
+        prefix = all_ranks[: all_ranks.index(r) + 1]
+        structs.append(
+            F.struct(
+                F.lit(r).alias("rank"),
+                # \x00 sentinel keeps NULL distinct from empty-string in
+                # the grouping key (groupBy on the raw columns did too)
+                F.array(
+                    *[F.coalesce(F.col(c), F.lit("\x00")) for c in prefix]
+                ).alias("key"),
+                lineage_display(prefix).alias("lineage"),
+            )
         )
-        for r in ranks
-    ]
-    summary = parts[0]
-    for p in parts[1:]:
-        summary = summary.unionByName(p)
+    summary = (
+        gather.join(lin, ident_col)
+        .select(
+            query_col,
+            "f_unique_to_query",
+            "f_unique_weighted",
+            "unique_intersect_bp",
+            F.explode(F.array(*structs)).alias("_rl"),
+        )
+        .groupBy(
+            query_col,
+            F.col("_rl.rank").alias("rank"),
+            F.col("_rl.key").alias("_key"),
+            F.col("_rl.lineage").alias("lineage"),
+        )
+        .agg(
+            F.sum("f_unique_to_query").alias("fraction"),
+            F.sum("f_unique_weighted").alias("f_weighted_at_rank"),
+            F.sum("unique_intersect_bp").alias("bp_match_at_rank"),
+        )
+        .select(
+            query_col,
+            "rank",
+            "lineage",
+            "fraction",
+            "f_weighted_at_rank",
+            "bp_match_at_rank",
+        )
+    )
 
     qbp = gather.groupBy(query_col).agg(F.first("query_bp").alias("_qbp"))
     totals = (
