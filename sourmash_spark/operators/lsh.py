@@ -136,8 +136,52 @@ def verify_pairs(
     (FIXTURES.md §5; columns follow PrefetchResult semantics).
 
     Joins candidates back to the signatures to compute exact
-    jaccard/containment/ANI with array kernels (JVM-side)."""
+    jaccard/containment/ANI with array kernels (JVM-side).
+
+    With a threshold, candidate pairs are pre-pruned by the score's
+    size-only UPPER BOUND before any hash array is touched: |A∩B| can
+    never exceed min(|A|,|B|), so evaluating the threshold column's
+    formula at inter=min(|A|,|B|) bounds the real score from above
+    (lossless — a pruned pair could not have passed the exact filter;
+    at the boundary inter==min the bound IS the exact score, computed
+    by the same kernel expression, so the comparison is bit-identical).
+    The sizes join broadcasts two narrow (id, size) tables; only
+    surviving pairs reach the array-intersect join — on banded LSH
+    candidates this typically cuts the expensive stage by orders of
+    magnitude (the bucket join is intentionally recall-heavy)."""
     from . import kernels
+
+    bound_of = {
+        "jaccard": lambda na, nb, least: kernels.jaccard_from_counts(
+            least, na, nb
+        ),
+        "containment_a_in_b": lambda na, nb, least: (
+            kernels.containment_from_counts(least, na, F.lit(scaled))
+        ),
+        "containment_b_in_a": lambda na, nb, least: (
+            kernels.containment_from_counts(least, nb, F.lit(scaled))
+        ),
+        "max_containment": lambda na, nb, least: (
+            kernels.max_containment_from_counts(
+                least, na, nb, F.lit(scaled)
+            )
+        ),
+    }
+    if threshold > 0.0 and threshold_col in bound_of:
+        za = sigs.select(
+            F.col(sig_id).alias("sig_id_a"), F.size("hashes").alias("_na")
+        )
+        zb = sigs.select(
+            F.col(sig_id).alias("sig_id_b"), F.size("hashes").alias("_nb")
+        )
+        na, nb = F.col("_na"), F.col("_nb")
+        ub = bound_of[threshold_col](na, nb, F.least(na, nb))
+        candidates = (
+            candidates.join(F.broadcast(za), "sig_id_a")
+            .join(F.broadcast(zb), "sig_id_b")
+            .filter(ub >= threshold)
+            .drop("_na", "_nb")
+        )
 
     sa = sigs.select(
         F.col(sig_id).alias("sig_id_a"), F.col("hashes").alias("_ha")

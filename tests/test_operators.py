@@ -271,3 +271,39 @@ def test_cc_distributed_equals_driver_path(spark, sigs, oracle_sketches):
         ).collect()
     }
     assert drv == dist
+
+
+def test_verify_prefilter_lossless_all_threshold_cols(spark, sigs):
+    """The size-bound candidate prune inside verify_pairs must be invisible
+    in the output: for every threshold column, thresholded verify ==
+    unfiltered verify + exact post-filter (the prune keeps any pair whose
+    upper bound — the kernel evaluated at inter=min(|A|,|B|) — clears the
+    threshold, so no true edge can be lost)."""
+    import pyspark.sql.functions as F
+
+    bands = lsh_ops.band_signatures(sigs, LSH, scaled=PARAMS.scaled)
+    cands = lsh_ops.candidate_pairs(bands).localCheckpoint(eager=True)
+    ref_all = lsh_ops.verify_pairs(
+        cands, sigs, scaled=PARAMS.scaled, ksize=PARAMS.ksize, threshold=0.0
+    ).cache()
+    for tcol in (
+        "jaccard",
+        "containment_a_in_b",
+        "containment_b_in_a",
+        "max_containment",
+    ):
+        for t in (0.3, 0.8):
+            got = sorted(
+                map(
+                    tuple,
+                    lsh_ops.verify_pairs(
+                        cands, sigs, scaled=PARAMS.scaled,
+                        ksize=PARAMS.ksize, threshold=t, threshold_col=tcol,
+                    ).collect(),
+                )
+            )
+            want = sorted(
+                map(tuple, ref_all.filter(F.col(tcol) >= t).collect())
+            )
+            assert got == want, (tcol, t, len(got), len(want))
+    ref_all.unpersist()
