@@ -36,26 +36,25 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     a = pdf.iloc[:, 0].to_numpy()
     b = pdf.iloc[:, 1].to_numpy()
     verts = np.unique(np.concatenate([a, b]))
-    idx = {int(v): i for i, v in enumerate(verts)}
-    parent = np.arange(verts.size)
-
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for x, y in zip(a, b):
-        rx, ry = find(idx[int(x)]), find(idx[int(y)])
-        if rx != ry:
-            # union by smaller vertex VALUE so the root is the min sig_id
-            if verts[rx] < verts[ry]:
-                parent[ry] = rx
-            else:
-                parent[rx] = ry
-    labels = verts[[find(i) for i in range(verts.size)]]
+    # vectorized min-label propagation with pointer doubling: lab[i] is an
+    # INDEX into verts; verts is sorted ascending, so the min index in a
+    # component IS its min sig_id (the same label the per-edge union-find
+    # produced, at numpy speed — the Python edge loop was ~2s at 500k
+    # edges).  Each round relaxes every edge both ways (np.minimum.at
+    # handles duplicate targets) then composes lab through itself;
+    # converges in O(log n) rounds even on a chain.
+    ia = np.searchsorted(verts, a)
+    ib = np.searchsorted(verts, b)
+    lab = np.arange(verts.size)
+    while True:
+        old = lab
+        lab = lab.copy()
+        np.minimum.at(lab, ia, lab[ib])
+        np.minimum.at(lab, ib, lab[ia])
+        lab = lab[lab]
+        if np.array_equal(lab, old):
+            break
+    labels = verts[lab]
     out = pd.DataFrame({"sig_id": verts, "cluster_id": labels})
     return edges.sparkSession.createDataFrame(
         out, "sig_id long, cluster_id long"

@@ -86,3 +86,51 @@ def test_gather_threshold_bp_zero_means_min_one_hash(spark):
     res = gather(spark, _db(spark), [10, 999], scaled=4, ksize=5).collect()
     assert len(res) == 1
     assert res[0]["intersect_bp"] == 4  # one hash * scaled
+
+
+def test_driver_union_find_matches_bfs_on_random_graphs(spark):
+    """The vectorized min-label propagation in _driver_union_find must
+    label every vertex with its component's min sig_id — checked against a
+    from-scratch BFS on random graphs (chains, stars, and dense blobs all
+    arise at these densities)."""
+    import numpy as np
+
+    from sourmash_spark.operators.cluster import _driver_union_find
+
+    rng = np.random.default_rng(7)
+    for trial, (n, m) in enumerate([(80, 40), (80, 200), (200, 150)]):
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        keep = a != b
+        a, b = a[keep].tolist(), b[keep].tolist()
+        edges = spark.createDataFrame(
+            list(zip(a, b)), "sig_id_a long, sig_id_b long"
+        )
+        got = {
+            r.sig_id: r.cluster_id for r in _driver_union_find(
+                edges.selectExpr("sig_id_a as a", "sig_id_b as b")
+            ).collect()
+        }
+        # BFS reference
+        adj: dict[int, set[int]] = {}
+        for x, y in zip(a, b):
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        want = {}
+        seen: set[int] = set()
+        for v in sorted(adj):
+            if v in seen:
+                continue
+            comp, stack = [], [v]
+            seen.add(v)
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for w in adj[u]:
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            lab = min(comp)
+            for u in comp:
+                want[u] = lab
+        assert got == want, f"trial {trial}"
