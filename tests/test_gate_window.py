@@ -24,6 +24,17 @@ R5_NEW_OR_CHANGED = [
     "dedup_ngram_capped",
     "mix_pack_sequences",         # mix.py integer-div pack_id
     "ann_ivf_topk",               # ann.py reseed refactor neighborhood
+    # late-r5 perf work: tax.py single-pass rollup, lsh.py verify_pairs
+    # size-bound prune, cluster.py vectorized driver union-find
+    "tax_metagenome_murmur",
+    "tax_genome_murmur",
+    "tax_annotate_murmur",
+    "lsh_band_keys",
+    "lsh_candidates60",
+    "cc_clusters",
+    "pipeline_clusters_murmur",
+    "pipeline_representatives_murmur",
+    "stream_ingest_edges",
 ]
 
 # VERDICT r4 #4: every round must rotate >=10 previously-unwitnessed gates
