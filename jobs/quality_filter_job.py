@@ -76,7 +76,9 @@ def main(argv: list[str] | None = None) -> int:
         F.explode("dup_ids").alias(idc), F.col("canonical_id")
     ).filter(F.col(idc) != F.col("canonical_id")).select(idc)
     drops = [dup_ids.withColumn("stage", F.lit("exact_dup"))]
-    docs1 = docs.join(F.broadcast(dup_ids), idc, "left_anti")
+    # no broadcast hint: dup_ids is corpus-proportional on a dup-heavy
+    # input; AQE broadcasts it when the runtime size fits
+    docs1 = docs.join(dup_ids, idc, "left_anti")
 
     # 2. Gopher-style quality
     q = text_ops.gopher_quality(

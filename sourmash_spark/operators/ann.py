@@ -663,8 +663,11 @@ def ivf_topk(
         query_id, F.col(vec_col).alias("qv"), "cell",
         _norm(vec_col).alias("_nq"),
     )
+    # equi-join on cell, no broadcast hint: AQE broadcasts the query side
+    # when it fits; with a corpus-sized query table it stays a shuffle
+    # join on the same cell key
     scored = (
-        corpus.join(F.broadcast(qs), "cell")
+        corpus.join(qs, "cell")
         .filter(F.col(id_col) != F.col(query_id))
         # a candidate may surface through several probed cells
         .groupBy(query_id, id_col)
@@ -756,8 +759,9 @@ def lsh_topk(
             else F.array(_bucket(vec_col, planes))
         ).alias("bucket"),
     )
+    # equi-join on bucket, no broadcast hint (AQE decides — see ivf_topk)
     scored = (
-        corpus.join(F.broadcast(qs), "bucket")
+        corpus.join(qs, "bucket")
         .filter(F.col(id_col) != F.col(query_id))
         # a candidate can surface through several probe buckets — collapse
         # before ranking so rank numbers are unambiguous

@@ -526,9 +526,13 @@ def _gather_rows(
         db, query_hashes, scaled, ksize=ksize, threshold_bp=threshold_bp,
         query_md5=query_md5, sig_id=sig_id,
     ).select(sig_id, "match_name", "match_md5")
+    # No broadcast hint on the candidate set: this strategy exists for the
+    # regime where prefetch survivors are too numerous for the driver, so
+    # forcing a driver collect here would defeat it.  AQE broadcasts the
+    # join automatically whenever the runtime size fits.
     joined = (
         db.select(sig_id, "hashes")
-        .join(F.broadcast(cands_df), sig_id)
+        .join(cands_df, sig_id)
         .select(sig_id, "match_name", "match_md5", "hashes")
         .localCheckpoint(eager=True)
     )

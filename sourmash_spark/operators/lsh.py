@@ -176,9 +176,14 @@ def verify_pairs(
         )
         na, nb = F.col("_na"), F.col("_nb")
         ub = bound_of[threshold_col](na, nb, F.least(na, nb))
+        # No broadcast hint: the sizes table has one row PER SIGNATURE, so
+        # forcing a broadcast would collect the whole corpus dimension to
+        # the driver at 10^12-sig scale.  AQE broadcasts it automatically
+        # whenever the runtime size fits; otherwise it stays a shuffle
+        # join on the same key the array-verify join uses anyway.
         candidates = (
-            candidates.join(F.broadcast(za), "sig_id_a")
-            .join(F.broadcast(zb), "sig_id_b")
+            candidates.join(za, "sig_id_a")
+            .join(zb, "sig_id_b")
             .filter(ub >= threshold)
             .drop("_na", "_nb")
         )
