@@ -70,11 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     docs = spark.read.parquet(args.input)
     n_in = docs.count()
 
-    # 1. exact dedup: drop every non-canonical copy
-    groups = dedup_ops.exact_dedup(docs, id_col=idc, text_col=txt)
-    dup_ids = groups.select(
-        F.explode("dup_ids").alias(idc), F.col("canonical_id")
-    ).filter(F.col(idc) != F.col("canonical_id")).select(idc)
+    # 1. exact dedup: drop every non-canonical copy.  Array-free per-doc
+    # marking (exact_dedup_ids) — mega duplicate groups stay as rows and
+    # split under AQE skew-join instead of collecting into one array row.
+    marked = dedup_ops.exact_dedup_ids(docs, id_col=idc, text_col=txt)
+    dup_ids = marked.filter(~F.col("is_canonical")).select(idc)
     drops = [dup_ids.withColumn("stage", F.lit("exact_dup"))]
     # no broadcast hint: dup_ids is corpus-proportional on a dup-heavy
     # input; AQE broadcasts it when the runtime size fits

@@ -13,10 +13,49 @@ from . import docops
 from .compare import DEFAULT_DF_CAP
 
 
+def exact_dedup_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document exact-duplicate marking — the SCALE form of exact
+    dedup: (id, content_md5, canonical_id, n_copies, is_canonical), one
+    row per input document, no arrays anywhere.
+
+    Why this exists next to `exact_dedup`: a code corpus has mega
+    duplicate groups (empty __init__.py, license boilerplate) whose
+    membership at 10^12 files runs to billions; `collect_list`-ing such a
+    group builds one multi-GB array row on one reducer, which no salting
+    can split *at the output*.  Here the group stays as rows: a count/min
+    aggregate (map-side combined, so the hot key arrives pre-reduced) plus
+    an equi-join back on content_md5 — and a skewed equi-join is exactly
+    what AQE skew-join splitting handles (the aggregate side of the hot
+    key is one row, replicated to each split).  Filter
+    ``~is_canonical`` for the drop set; `exact_dedup` remains the
+    group-level report for bounded group sizes."""
+    h = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    groups = h.groupBy("content_md5").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+    return h.join(groups, "content_md5").select(
+        id_col,
+        "content_md5",
+        "canonical_id",
+        "n_copies",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicates by content hash: one shuffle on md5(text) with
     map-side combine.  Emits (canonical_id, n_copies, dup_ids) per duplicate
-    group (groups of one excluded)."""
+    group (groups of one excluded).
+
+    Scale note: the per-group `dup_ids` array bounds this to corpora whose
+    largest duplicate group fits one row comfortably; past that (mega
+    boilerplate groups in web-scale code) use `exact_dedup_ids`, which
+    keeps groups as rows."""
     return (
         docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
         .groupBy("content_md5")

@@ -35,6 +35,9 @@ R5_NEW_OR_CHANGED = [
     "pipeline_clusters_murmur",
     "pipeline_representatives_murmur",
     "stream_ingest_edges",
+    # late-r5 scale audit: dedup.py exact_dedup_ids (array-free marking)
+    "dedup_exact_marked",
+    "dedup_exact",
 ]
 
 # VERDICT r4 #4: every round must rotate >=10 previously-unwitnessed gates

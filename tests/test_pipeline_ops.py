@@ -182,3 +182,36 @@ def test_ivf_assign_literal_guardrails_fall_back(spark):
         for r in ann_ops.ivf_assign(embs, good, n_probe=2).collect()
     }
     assert a == b
+
+
+def test_exact_dedup_ids_matches_group_report(spark):
+    """The array-free per-doc marking must carry exactly the information
+    of the group-level report: same groups, same canonical choice, same
+    membership — plus one row per input doc including singletons."""
+    from sourmash_spark.operators import dedup as dedup_ops
+
+    rows = [
+        (0, "aaa"), (1, "bbb"), (2, "aaa"), (3, "ccc"),
+        (4, "aaa"), (5, "bbb"), (6, "unique"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    marked = dedup_ops.exact_dedup_ids(docs).collect()
+    assert len(marked) == len(rows)  # every doc, singletons included
+    by_id = {r["doc_id"]: r for r in marked}
+    assert by_id[6]["n_copies"] == 1 and by_id[6]["is_canonical"]
+    for r in marked:
+        assert r["is_canonical"] == (r["doc_id"] == r["canonical_id"])
+
+    groups = dedup_ops.exact_dedup(docs).collect()
+    report = {
+        g["canonical_id"]: (g["n_copies"], sorted(g["dup_ids"]))
+        for g in groups
+    }
+    derived = {}
+    for r in marked:
+        if r["n_copies"] > 1:
+            derived.setdefault(r["canonical_id"], []).append(r["doc_id"])
+    assert report == {
+        c: (len(ids), sorted(ids)) for c, ids in derived.items()
+    }
