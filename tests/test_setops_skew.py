@@ -227,3 +227,36 @@ def test_ngram_hash_path_equals_string_path(spark, corpus):
         for r in ngram_jaccard_pairs(docs, hash_grams=False).collect()
     }
     assert a == b
+
+
+def test_exact_dedup_ids_mega_group(spark):
+    """A boilerplate mega-group (one content owning ~95% of the corpus —
+    the empty-__init__.py shape) through the array-free marking: the hot
+    key is an aggregate row + equi-join, never a collected array, and the
+    result stays exact.  20k-row smoke of the shape AQE skew-join splits
+    at corpus scale."""
+    from sourmash_spark.operators import dedup as dedup_ops
+
+    n_hot, n_cold = 19000, 1000
+    docs = spark.range(n_hot + n_cold).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < n_hot, F.lit(""))  # the empty-file group
+        .otherwise(F.concat(F.lit("u"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    marked = dedup_ops.exact_dedup_ids(docs)
+    assert marked.count() == n_hot + n_cold
+    agg = (
+        marked.groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("canonical_id").alias("cmin"),
+            F.max("canonical_id").alias("cmax"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_canon"),
+        )
+    ).collect()
+    by_n = {r["n"]: r for r in agg}
+    assert by_n[n_hot]["cmin"] == 0 and by_n[n_hot]["cmax"] == 0
+    assert by_n[n_hot]["n_canon"] == 1  # exactly one canonical in the mega group
+    assert len([r for r in agg if r["n"] == 1]) == n_cold
+    assert all(r["n_canon"] == 1 for r in agg)
