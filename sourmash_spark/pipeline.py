@@ -63,8 +63,8 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the stage DataFrames.
 
-    `stop_after` ('signatures' | 'candidates' | 'edges') simulates a
-    mid-pipeline kill for resumability testing.
+    `stop_after` ('signatures' | 'bands' | 'candidates' | 'edges')
+    simulates a mid-pipeline kill for resumability testing.
     """
     cfg = config or PipelineConfig(SketchParams(), LSHParams())
     ch = cfg.config_hash()
@@ -90,10 +90,24 @@ def run_pipeline(
     if stop_after == "signatures":
         return out
 
+    # bands persist as their own stage table — the postings/RevIndex
+    # analog (SURVEY §2.1): incremental_update reads them back instead of
+    # re-banding the whole corpus per increment, and a resumed run picks
+    # up after banding.  Narrow table: (sig_id, band_idx, band_key).
+    bands, _ = ckpt.run_stage(
+        spark, base_dir, "bands", ch,
+        lambda: lsh_ops.band_signatures(
+            sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid
+        ),
+    )
+    out["bands"] = bands
+    if stop_after == "bands":
+        return out
+
     cands, _ = ckpt.run_stage(
         spark, base_dir, "candidates", ch,
         lambda: lsh_ops.candidate_pairs(
-            lsh_ops.band_signatures(sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid),
+            bands,
             bucket_cap=cfg.bucket_cap,
             sig_id=sid,
         ),
@@ -133,7 +147,9 @@ def incremental_update(
 
     Work done is proportional to the new data:
     * sketch only the new files (narrow map over the increment);
-    * band only the new signatures;
+    * band only the new signatures — the corpus bands are READ BACK from
+      the `bands` stage table (recomputed once as a fallback for
+      checkpoints written before the bands stage existed);
     * candidate pairs = new x (old ∪ new) band join — the old x old pair
       space is never re-enumerated;
     * verify only the new candidate pairs;
@@ -165,7 +181,22 @@ def incremental_update(
 
     all_sigs = old_sigs.unionByName(new_sigs, allowMissingColumns=True)
     new_bands = band_signatures(new_sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid)
-    all_bands = band_signatures(all_sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid)
+    # corpus bands from the stage table — increment-proportional work.
+    # Banding is row-wise deterministic, so stored-old ∪ banded-new is
+    # bit-identical to re-banding all_sigs (which the fallback does for
+    # checkpoints that predate the bands stage).
+    bands_path = ckpt.stage_path(base_dir, "bands", ch)
+    if ckpt.is_complete(bands_path):
+        old_bands = spark.read.parquet(bands_path).select(
+            sid, "band_idx", "band_key"
+        )
+        all_bands = old_bands.unionByName(
+            new_bands.select(sid, "band_idx", "band_key")
+        )
+    else:
+        all_bands = band_signatures(
+            all_sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid
+        )
 
     # same boilerplate guard as the full pipeline (bucket sizes over the
     # COMBINED band table, else capped buckets would diverge from a full

@@ -29,7 +29,9 @@ def test_full_pipeline_and_recall(spark, corpus, base_dir):
         "file_id", "sig_id"
     )
     out = run_pipeline(spark, df, base_dir, CFG)
-    assert set(out) == {"signatures", "candidates", "edges", "clusters"}
+    assert set(out) == {
+        "signatures", "bands", "candidates", "edges", "clusters"
+    }
     n_sigs = out["signatures"].count()
     assert n_sigs == len(corpus.code_files)
     assert out["clusters"].count() == n_sigs
@@ -227,3 +229,40 @@ def test_stream_ingest_equals_batch_incremental(spark, corpus, tmp_path):
     got = {(r.sig_id_a, r.sig_id_b) for r in stream_edges.collect()}
     want = {(r.sig_id_a, r.sig_id_b) for r in batch_edges.collect()}
     assert got == want
+
+
+def test_incremental_update_without_bands_stage(spark, corpus, tmp_path):
+    """Backward compat: a checkpoint written BEFORE the bands stage
+    existed (bands dir absent) must take the re-band fallback and still
+    produce identical edges to the stored-bands path."""
+    import shutil
+
+    from sourmash_spark.pipeline import incremental_update
+
+    base_a = str(tmp_path / "with_bands")
+    base_b = str(tmp_path / "without_bands")
+    pdf = corpus.code_files
+    first = pdf[pdf.file_id < 40]
+    extra = pdf[pdf.file_id >= 40]
+
+    df_first = spark.createDataFrame(first).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+    df_extra = spark.createDataFrame(extra).withColumnRenamed(
+        "file_id", "sig_id"
+    )
+
+    run_pipeline(spark, df_first, base_a, CFG)
+    run_pipeline(spark, df_first, base_b, CFG)
+    bands_dir = ckpt.stage_path(base_b, "bands", CFG.config_hash())
+    assert ckpt.is_complete(bands_dir)
+    shutil.rmtree(bands_dir)  # simulate a pre-bands-stage checkpoint
+
+    with_bands = incremental_update(spark, df_extra, base_a, CFG)
+    without_bands = incremental_update(spark, df_extra, base_b, CFG)
+
+    ew = {(r.sig_id_a, r.sig_id_b) for r in with_bands["edges"].collect()}
+    ewo = {
+        (r.sig_id_a, r.sig_id_b) for r in without_bands["edges"].collect()
+    }
+    assert ew == ewo and len(ew) > 0
