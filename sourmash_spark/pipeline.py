@@ -20,6 +20,7 @@ skipping completed stages.  Stage plans:
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,8 +151,11 @@ def incremental_update(
     * band only the new signatures — the corpus bands are READ BACK from
       the `bands` stage table (recomputed once as a fallback for
       checkpoints written before the bands stage existed);
-    * candidate pairs = new x (old ∪ new) band join — the old x old pair
-      space is never re-enumerated;
+    * candidate pairs = batch x (old ∪ all increments) band join — the
+      old x old pair space is never re-enumerated, and earlier increments
+      are not re-joined either (their pairs were emitted by their own
+      calls — per-call work stays proportional to the batch even after
+      months of daily ingests);
     * verify only the new candidate pairs;
     * clusters re-converge over (old edges ∪ new edges) — edge tables are
       O(duplicates), tiny next to the corpus.
@@ -172,26 +176,45 @@ def incremental_update(
     old_sigs = spark.read.parquet(ckpt.stage_path(base_dir, "signatures", ch))
     old_edges = spark.read.parquet(ckpt.stage_path(base_dir, "edges", ch))
 
-    new_sigs = sketch_signatures(
+    batch_sigs = sketch_signatures(
         with_sha256(new_files), cfg.sketch, keep_cols=keep + ["sha256"]
     )
+    # versioned increments (increment=k subdir per call, partition-style
+    # naming): THIS batch is the only "new" side of the candidate join, so
+    # per-call work is proportional to the batch — earlier increments are
+    # never re-joined (their pairs were emitted by their own calls) and
+    # only ride along as stored rows on the old side.
     inc_path = ckpt.stage_path(base_dir, "signatures", ch) + "_inc"
-    new_sigs.write.mode("append").parquet(inc_path)
-    new_sigs = spark.read.parquet(inc_path)
+    k = 0
+    if os.path.isdir(inc_path):
+        k = len(
+            [d for d in os.listdir(inc_path) if d.startswith("increment=")]
+        )
+    batch_sigs.write.parquet(f"{inc_path}/increment={k}")
+    batch_sigs = spark.read.parquet(f"{inc_path}/increment={k}")
+    all_inc_sigs = spark.read.parquet(inc_path).drop("increment")
 
-    all_sigs = old_sigs.unionByName(new_sigs, allowMissingColumns=True)
-    new_bands = band_signatures(new_sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid)
-    # corpus bands from the stage table — increment-proportional work.
-    # Banding is row-wise deterministic, so stored-old ∪ banded-new is
-    # bit-identical to re-banding all_sigs (which the fallback does for
-    # checkpoints that predate the bands stage).
+    all_sigs = old_sigs.unionByName(all_inc_sigs, allowMissingColumns=True)
+    new_bands = band_signatures(
+        batch_sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid
+    )
+    # corpus bands: base stage table + per-increment band tables, all read
+    # back — increment-proportional work.  Banding is row-wise
+    # deterministic, so stored ∪ banded-batch is bit-identical to
+    # re-banding all_sigs (which the fallback does for checkpoints that
+    # predate the bands stage).
+    bands_inc = ckpt.stage_path(base_dir, "bands", ch) + "_inc"
+    new_bands.select(sid, "band_idx", "band_key").write.parquet(
+        f"{bands_inc}/increment={k}"
+    )
+    new_bands = spark.read.parquet(f"{bands_inc}/increment={k}")
     bands_path = ckpt.stage_path(base_dir, "bands", ch)
     if ckpt.is_complete(bands_path):
         old_bands = spark.read.parquet(bands_path).select(
             sid, "band_idx", "band_key"
         )
         all_bands = old_bands.unionByName(
-            new_bands.select(sid, "band_idx", "band_key")
+            spark.read.parquet(bands_inc).drop("increment")
         )
     else:
         all_bands = band_signatures(

@@ -266,3 +266,36 @@ def test_incremental_update_without_bands_stage(spark, corpus, tmp_path):
         (r.sig_id_a, r.sig_id_b) for r in without_bands["edges"].collect()
     }
     assert ew == ewo and len(ew) > 0
+
+
+def test_two_increments_equal_full(spark, corpus, tmp_path):
+    """Two successive ingests (versioned increment=k subdirs): pairs among
+    increment 1 must NOT be re-joined by increment 2's call, yet the final
+    edges/clusters must equal one full recompute over everything."""
+    from sourmash_spark.pipeline import incremental_update
+
+    base_a = str(tmp_path / "inc2_base")
+    base_b = str(tmp_path / "full2_base")
+    pdf = corpus.code_files
+    first = pdf[pdf.file_id < 30]
+    second = pdf[(pdf.file_id >= 30) & (pdf.file_id < 45)]
+    third = pdf[pdf.file_id >= 45]
+    assert len(second) > 3 and len(third) > 3
+
+    def df_of(p):
+        return spark.createDataFrame(p).withColumnRenamed(
+            "file_id", "sig_id"
+        )
+
+    run_pipeline(spark, df_of(first), base_a, CFG)
+    incremental_update(spark, df_of(second), base_a, CFG)
+    inc = incremental_update(spark, df_of(third), base_a, CFG)
+    full = run_pipeline(spark, df_of(pdf), base_b, CFG)
+
+    ei = {(r.sig_id_a, r.sig_id_b) for r in inc["edges"].collect()}
+    ef = {(r.sig_id_a, r.sig_id_b) for r in full["edges"].collect()}
+    assert ei == ef
+    ci = {r.sig_id: r.cluster_id for r in inc["clusters"].collect()}
+    cf = {r.sig_id: r.cluster_id for r in full["clusters"].collect()}
+    assert ci == cf
+    assert inc["signatures"].count() == len(pdf)
