@@ -20,6 +20,7 @@ skipping completed stages.  Stage plans:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from dataclasses import dataclass
 
@@ -264,6 +265,125 @@ def incremental_update(
         "edges": all_edges,
         "clusters": clusters,
     }
+
+
+def compact_increments(
+    spark: SparkSession,
+    base_dir: str,
+    config: PipelineConfig | None = None,
+) -> dict[str, int]:
+    """Fold accumulated ingest increments back into the base stage tables
+    — the Iceberg-compaction analog.  Months of daily `incremental_update`
+    calls leave one increment=k subdir per call; at cluster scale that is
+    a many-small-files problem for every subsequent scan.  Compaction
+    rewrites signatures/bands/edges as single stage tables (increments
+    folded in), refreshes the clusters stage from the compacted state,
+    removes the _inc dirs, and drops the stale candidates stage (its
+    pair enumeration is superseded by the folded edges).  Subsequent
+    incremental_update calls start from a clean base.
+
+    Returns {stage: n_rows} for the rewritten stages.  The swap is
+    write-to-tmp + rename: crash-safe in the sense that the base table is
+    replaced only after the compacted write (and its _SUCCESS) completes;
+    on a real object store the catalog swap (Iceberg commit) plays this
+    role.
+    """
+    import shutil
+    import time as _time
+
+    from .operators import cluster as cluster_ops
+    from .operators.lsh import band_signatures
+
+    cfg = config or PipelineConfig(SketchParams(), LSHParams())
+    ch = cfg.config_hash()
+    sid = cfg.sig_id
+    counts: dict[str, int] = {}
+
+    def swap_in(path: str, df: DataFrame) -> int:
+        tmp = path + "_compacting"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        df.write.parquet(tmp)  # materializes BEFORE sources are removed
+        n = spark.read.parquet(tmp).count()
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        return n
+
+    t0 = _time.time()
+    sig_path = ckpt.stage_path(base_dir, "signatures", ch)
+    bands_path = ckpt.stage_path(base_dir, "bands", ch)
+    edges_path = ckpt.stage_path(base_dir, "edges", ch)
+    sig_inc, bands_inc, edges_inc = (
+        sig_path + "_inc", bands_path + "_inc", edges_path + "_inc"
+    )
+
+    # a bucket_signatures config registered a catalog table over this
+    # path; the compacted rewrite is plain parquet, so drop the (external,
+    # metadata-only) table — readers fall back to the parquet path
+    sig_table = f"ckpt_signatures_{ch}"
+    if spark.catalog.tableExists(sig_table):
+        spark.sql(f"DROP TABLE IF EXISTS {sig_table}")
+
+    sigs = spark.read.parquet(sig_path)
+    if os.path.isdir(sig_inc):
+        sigs = sigs.unionByName(
+            spark.read.parquet(sig_inc).drop("increment"),
+            allowMissingColumns=True,
+        )
+    counts["signatures"] = swap_in(sig_path, sigs)
+    sigs = spark.read.parquet(sig_path)
+
+    if ckpt.is_complete(bands_path):
+        bands = spark.read.parquet(bands_path).select(
+            sid, "band_idx", "band_key"
+        )
+        if os.path.isdir(bands_inc):
+            bands = bands.unionByName(
+                spark.read.parquet(bands_inc).drop("increment")
+            )
+    else:
+        # pre-bands-stage checkpoint: upgrade it here
+        bands = band_signatures(
+            sigs, cfg.lsh, cfg.sketch.scaled, sig_id=sid
+        )
+    counts["bands"] = swap_in(bands_path, bands)
+
+    edges = spark.read.parquet(edges_path)
+    if os.path.isdir(edges_inc):
+        edges = edges.unionByName(
+            spark.read.parquet(edges_inc)
+        ).dropDuplicates(["sig_id_a", "sig_id_b"])
+    counts["edges"] = swap_in(edges_path, edges)
+    edges = spark.read.parquet(edges_path)
+
+    clusters_path = ckpt.stage_path(base_dir, "clusters", ch)
+    counts["clusters"] = swap_in(
+        clusters_path, cluster_ops.assign_clusters(sigs, edges, sig_id=sid)
+    )
+
+    for p in (sig_inc, bands_inc, edges_inc):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    cands_path = ckpt.stage_path(base_dir, "candidates", ch)
+    if os.path.isdir(cands_path):
+        shutil.rmtree(cands_path)  # stale pair enumeration — derivable
+
+    ckpt._append_lineage(
+        spark,
+        base_dir,
+        [
+            {
+                "stage": "compact",
+                "config_hash": ch,
+                "event": "complete",
+                "n_rows": counts["signatures"],
+                "wall_sec": round(_time.time() - t0, 3),
+                "compacted": json.dumps(counts),
+            }
+        ],
+    )
+    return counts
 
 
 def dup_pair_recall(edges: DataFrame, reference_pairs: DataFrame) -> float:

@@ -299,3 +299,46 @@ def test_two_increments_equal_full(spark, corpus, tmp_path):
     cf = {r.sig_id: r.cluster_id for r in full["clusters"].collect()}
     assert ci == cf
     assert inc["signatures"].count() == len(pdf)
+
+
+def test_compact_increments_then_ingest(spark, corpus, tmp_path):
+    """Compaction folds increments into the base stage tables (the
+    Iceberg-compaction analog): _inc dirs disappear, the base stages are
+    complete, and a FURTHER ingest on the compacted state still equals a
+    full recompute over everything."""
+    import os as _os
+
+    from sourmash_spark.pipeline import compact_increments, incremental_update
+
+    base_a = str(tmp_path / "compact_base")
+    base_b = str(tmp_path / "full_base")
+    pdf = corpus.code_files
+    first = pdf[pdf.file_id < 30]
+    second = pdf[(pdf.file_id >= 30) & (pdf.file_id < 45)]
+    third = pdf[pdf.file_id >= 45]
+
+    def df_of(p):
+        return spark.createDataFrame(p).withColumnRenamed(
+            "file_id", "sig_id"
+        )
+
+    run_pipeline(spark, df_of(first), base_a, CFG)
+    incremental_update(spark, df_of(second), base_a, CFG)
+
+    counts = compact_increments(spark, base_a, CFG)
+    ch = CFG.config_hash()
+    assert counts["signatures"] == len(first) + len(second)
+    for stage in ("signatures", "bands", "edges", "clusters"):
+        assert ckpt.is_complete(ckpt.stage_path(base_a, stage, ch))
+        assert not _os.path.isdir(
+            ckpt.stage_path(base_a, stage, ch) + "_inc"
+        )
+
+    inc = incremental_update(spark, df_of(third), base_a, CFG)
+    full = run_pipeline(spark, df_of(pdf), base_b, CFG)
+    ei = {(r.sig_id_a, r.sig_id_b) for r in inc["edges"].collect()}
+    ef = {(r.sig_id_a, r.sig_id_b) for r in full["edges"].collect()}
+    assert ei == ef
+    ci = {r.sig_id: r.cluster_id for r in inc["clusters"].collect()}
+    cf = {r.sig_id: r.cluster_id for r in full["clusters"].collect()}
+    assert ci == cf
