@@ -637,3 +637,173 @@ def repeated_segment_removal(
         .alias("n_removed"),
         F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
     )
+
+
+def _exact_substring_span_arrays(
+    docs: DataFrame,
+    min_len: int,
+    id_col: str,
+    text_col: str,
+    hash_grams: bool,
+) -> DataFrame:
+    """(id_col, spans) — per-doc maximal duplicated spans as a sorted array
+    of struct<span_start:long, span_end:long> (1-based char positions,
+    inclusive).  Shared core of `exact_substring_spans` / `_removal`.
+
+    A character is covered iff it lies inside SOME substring of length
+    >= min_len that occurs at >= 2 positions in the corpus (intra-doc
+    repeats count, as in Lee et al. 2022's ExactSubstr definition): every
+    length-L window of such a substring is itself duplicated, and
+    conversely every duplicated L-window IS such a substring — so the
+    union of duplicated L-windows equals exactly the duplicated-substring
+    character set, and merging overlapping/adjacent marked windows yields
+    the maximal spans a suffix array would find.
+
+    Plan: one stride-1 posexplode (O(total chars) rows — same order as the
+    input, the price of EXACT substring semantics; the approximate path is
+    `substring_dup_pairs`' winnowing), one map-side-combined count per
+    gram key for the duplicated set, a key equi-join back (AQE broadcasts
+    the dup set when small), then ONE shuffle of only the MARKED positions
+    on doc_id with a pure-column fold doing the island merge.  With
+    `hash_grams=True` (scale default) the two gram exchanges carry 8-byte
+    xxhash64 keys, not L-byte strings; a false mark needs a 64-bit
+    collision (same declared trade as repeated_segment_removal).
+    """
+    L = min_len
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(docops.char_shingles(F.col(text_col), L)).alias(
+            "pos0", "g"
+        ),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        (F.xxhash64("g") if hash_grams else F.col("g")).alias("_k"),
+    )
+    dup = (
+        grams.groupBy("_k")
+        .agg(F.count("*").alias("_occ"))
+        .filter(F.col("_occ") >= 2)
+        .select("_k")
+    )
+    marked = grams.join(dup, "_k").select(id_col, "pos")
+    empty_spans = F.array().cast(
+        "array<struct<span_start:long,span_end:long>>"
+    )
+    span = lambda s, e: F.struct(  # noqa: E731
+        s.cast("long").alias("span_start"), e.cast("long").alias("span_end")
+    )
+    return marked.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("pos")),
+            empty_spans,
+            # merge window [p, p+L-1] into the last span when it overlaps
+            # or is adjacent (p <= last.span_end + 1; marked positions are
+            # sorted, so only the last span can be affected)
+            lambda acc, p: F.when(
+                (F.size(acc) > 0)
+                & (p <= F.element_at(acc, -1)["span_end"] + 1),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        span(
+                            F.element_at(acc, -1)["span_start"], p + (L - 1)
+                        )
+                    ),
+                ),
+            ).otherwise(F.concat(acc, F.array(span(p, p + (L - 1))))),
+        ).alias("spans")
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """EXACT duplicated-substring spans — the suffix-array substring-dedup
+    semantic (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") as a distributed DataFrame plan: every maximal span of
+    characters covered by a substring of length >= `min_len` that occurs
+    at >= 2 positions anywhere in the corpus (all copies reported,
+    intra-document repeats included).
+
+    Identical output set to a suffix-array scan at the same min_len: the
+    L-window df>=2 marking is a lossless reformulation (see
+    `_exact_substring_span_arrays`), not an approximation — unlike
+    `substring_dup_pairs`, which trades winnowing sparsity for recall-1
+    DETECTION only.  Cost is O(total corpus chars) exploded rows; at
+    100 TB run it per-partition-pruned ingest increment, not the full
+    corpus, or use the winnowing path for candidate discovery first.
+
+    Output: (id_col, span_start, span_end) — 1-based inclusive char
+    positions, one row per maximal span.
+    """
+    arrays = _exact_substring_span_arrays(
+        docs, min_len, id_col, text_col, hash_grams
+    )
+    return arrays.select(
+        id_col, F.explode("spans").alias("s")
+    ).select(id_col, "s.span_start", "s.span_end")
+
+
+def exact_substring_removal(
+    docs: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Cut every duplicated span found by `exact_substring_spans` out of
+    the text (all copies removed — ExactSubstr's default policy) and
+    reassemble the remainder in order.  Docs with no duplicated spans pass
+    through unchanged.
+
+    Reassembly is a pure-column fold over the per-doc sorted span array
+    (substring concatenation of the inter-span gaps) — no second shuffle
+    beyond the span aggregation itself, and the full `docs` side never
+    moves: spans join back to the narrow (id, text) projection.
+
+    Output: (id_col, n_spans, n_removed, text_deduped)."""
+    arrays = _exact_substring_span_arrays(
+        docs, min_len, id_col, text_col, hash_grams
+    )
+    text = F.col(text_col)
+    spans = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    acc0 = F.struct(
+        F.lit(1).cast("long").alias("pos"), F.lit("").alias("out")
+    )
+    kept = F.aggregate(
+        spans,
+        acc0,
+        lambda acc, s: F.struct(
+            (s["span_end"] + 1).alias("pos"),
+            F.concat(
+                acc["out"],
+                F.substring(text, acc["pos"], s["span_start"] - acc["pos"]),
+            ).alias("out"),
+        ),
+        lambda acc: F.concat(
+            acc["out"],
+            F.substring(text, acc["pos"], F.length(text) - acc["pos"] + 1),
+        ),
+    )
+    return (
+        docs.select(id_col, text_col)
+        .join(arrays, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(spans).cast("long").alias("n_spans"),
+            F.aggregate(
+                spans,
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + s["span_end"] - s["span_start"] + 1,
+            ).alias("n_removed"),
+            kept.alias("text_deduped"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""exact_substring_spans / exact_substring_removal vs a from-scratch
+brute-force oracle (all O(n^2) substring occurrences, no hashing).
+
+The operator claims EXACT suffix-array-dedup semantics (Lee et al. 2022):
+a char is removed iff it lies in a substring of length >= L occurring at
+>= 2 positions corpus-wide.  The oracle here literally enumerates every
+length-L window and counts occurrences — independent of the Spark plan's
+marking/merging formulation.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from sourmash_spark.operators.dedup import (
+    exact_substring_removal,
+    exact_substring_spans,
+)
+
+
+def _brute_spans(texts: dict[int, str], L: int) -> dict[int, list[tuple]]:
+    occ = Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            occ[t[i : i + L]] += 1
+    out: dict[int, list[tuple]] = {}
+    for d, t in texts.items():
+        marked = [
+            i + 1  # 1-based
+            for i in range(len(t) - L + 1)
+            if occ[t[i : i + L]] >= 2
+        ]
+        spans: list[list[int]] = []
+        for p in marked:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = p + L - 1
+            else:
+                spans.append([p, p + L - 1])
+        out[d] = [tuple(s) for s in spans]
+    return out
+
+
+def _brute_removed(text: str, spans: list[tuple]) -> str:
+    kept, pos = [], 1
+    for s, e in spans:
+        kept.append(text[pos - 1 : s - 1])
+        pos = e + 1
+    kept.append(text[pos - 1 :])
+    return "".join(kept)
+
+
+CORPUS = {
+    0: "A" * 10 + "the quick brown fox jumps over the lazy dog" + "B" * 10,
+    1: "C" * 7 + "the quick brown fox jumps over the lazy dog" + "D" * 13,
+    2: "unique text with no repeats whatsoever here!",
+    3: "XY" * 30,  # intra-doc repeat: 'XY'*k occurs at many offsets
+    4: "",
+    5: "short",
+}
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(d, t) for d, t in CORPUS.items()], "doc_id long, text string"
+    )
+
+
+def test_spans_match_bruteforce(spark):
+    L = 20
+    want = {
+        (d, s, e)
+        for d, sp in _brute_spans(CORPUS, L).items()
+        for (s, e) in sp
+    }
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(_df(spark), min_len=L).collect()
+    }
+    assert got == want
+    # sanity on the fixture itself: shared sentence found in docs 0+1,
+    # intra-doc periodic repeat fully covered in doc 3, nothing elsewhere
+    docs_hit = {d for d, _, _ in want}
+    assert docs_hit == {0, 1, 3}
+    d3 = [(s, e) for d, s, e in want if d == 3]
+    assert d3 == [(1, 60)]
+
+
+def test_removal_matches_bruteforce(spark):
+    L = 20
+    bspans = _brute_spans(CORPUS, L)
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_removal(_df(spark), min_len=L).collect()
+    }
+    assert set(rows) == set(CORPUS)
+    for d, t in CORPUS.items():
+        want_text = _brute_removed(t, bspans[d])
+        r = rows[d]
+        assert r["text_deduped"] == want_text, d
+        assert r["n_spans"] == len(bspans[d])
+        assert r["n_removed"] == sum(e - s + 1 for s, e in bspans[d])
+        assert r["n_removed"] == len(t) - len(want_text)
+
+
+def test_hash_and_string_paths_agree(spark):
+    df = _df(spark)
+    a = exact_substring_spans(df, min_len=12, hash_grams=True)
+    b = exact_substring_spans(df, min_len=12, hash_grams=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_min_len_longer_than_every_doc_is_empty(spark):
+    df = _df(spark)
+    assert exact_substring_spans(df, min_len=500).count() == 0
+    out = {
+        r["doc_id"]: r for r in exact_substring_removal(df, 500).collect()
+    }
+    for d, t in CORPUS.items():
+        assert out[d]["text_deduped"] == t
+        assert out[d]["n_spans"] == 0 and out[d]["n_removed"] == 0
