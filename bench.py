@@ -182,6 +182,15 @@ def main() -> None:
         "ngram_jaccard",
         lambda: dedup_ops.ngram_jaccard_pairs(docs, n=3, threshold=0.2).count(),
     )
+    # exact suffix-array-substring removal (late r5): stride-1 hashed-gram
+    # marking + island merge + fold reassembly — O(total chars) rows,
+    # the linear-cost exact complement to the winnowing approximation
+    timed(
+        "substring_exact",
+        lambda: dedup_ops.exact_substring_removal(docs, min_len=40)
+        .agg(F.sum("n_removed"))
+        .count(),
+    )
     timed("text_quality", lambda: text_ops.quality_score(docs).count())
     timed(
         "winnow", lambda: text_ops.winnow_fingerprints(docs, k=8, window=4).count()

@@ -645,6 +645,7 @@ def _exact_substring_span_arrays(
     id_col: str,
     text_col: str,
     hash_grams: bool,
+    keep: str = "all",
 ) -> DataFrame:
     """(id_col, spans) — per-doc maximal duplicated spans as a sorted array
     of struct<span_start:long, span_end:long> (1-based char positions,
@@ -680,13 +681,37 @@ def _exact_substring_span_arrays(
         (F.col("pos0") + 1).cast("long").alias("pos"),
         (F.xxhash64("g") if hash_grams else F.col("g")).alias("_k"),
     )
-    dup = (
-        grams.groupBy("_k")
-        .agg(F.count("*").alias("_occ"))
-        .filter(F.col("_occ") >= 2)
-        .select("_k")
-    )
-    marked = grams.join(dup, "_k").select(id_col, "pos")
+    if keep not in ("all", "first"):
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
+    if keep == "first":
+        # keep-one policy: the globally-first occurrence of each
+        # duplicated gram (min (doc_id, pos), the corpus scan order) stays
+        # unmarked, so the first copy of a duplicated region survives
+        # removal — same agg, one extra struct-min riding it
+        dup = (
+            grams.groupBy("_k")
+            .agg(
+                F.count("*").alias("_occ"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+            )
+            .filter(F.col("_occ") >= 2)
+            .select("_k", "_first")
+        )
+        marked = (
+            grams.join(dup, "_k")
+            .filter(
+                F.struct(F.col(id_col), F.col("pos")) != F.col("_first")
+            )
+            .select(id_col, "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("_k")
+            .agg(F.count("*").alias("_occ"))
+            .filter(F.col("_occ") >= 2)
+            .select("_k")
+        )
+        marked = grams.join(dup, "_k").select(id_col, "pos")
     empty_spans = F.array().cast(
         "array<struct<span_start:long,span_end:long>>"
     )
@@ -722,6 +747,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = True,
+    keep: str = "all",
 ) -> DataFrame:
     """EXACT duplicated-substring spans — the suffix-array substring-dedup
     semantic (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -738,11 +764,16 @@ def exact_substring_spans(
     100 TB run it per-partition-pruned ingest increment, not the full
     corpus, or use the winnowing path for candidate discovery first.
 
+    `keep="all"` (default) marks every copy of a duplicated region;
+    `keep="first"` leaves the globally-first occurrence (min (doc_id,
+    pos)) unmarked so one copy survives removal — ExactSubstr's keep-one
+    policy.
+
     Output: (id_col, span_start, span_end) — 1-based inclusive char
     positions, one row per maximal span.
     """
     arrays = _exact_substring_span_arrays(
-        docs, min_len, id_col, text_col, hash_grams
+        docs, min_len, id_col, text_col, hash_grams, keep
     )
     return arrays.select(
         id_col, F.explode("spans").alias("s")
@@ -755,11 +786,13 @@ def exact_substring_removal(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = True,
+    keep: str = "all",
 ) -> DataFrame:
     """Cut every duplicated span found by `exact_substring_spans` out of
-    the text (all copies removed — ExactSubstr's default policy) and
-    reassemble the remainder in order.  Docs with no duplicated spans pass
-    through unchanged.
+    the text (all copies removed by default; `keep="first"` preserves the
+    globally-first copy of each duplicated gram) and reassemble the
+    remainder in order.  Docs with no duplicated spans pass through
+    unchanged.
 
     Reassembly is a pure-column fold over the per-doc sorted span array
     (substring concatenation of the inter-span gaps) — no second shuffle
@@ -768,7 +801,7 @@ def exact_substring_removal(
 
     Output: (id_col, n_spans, n_removed, text_deduped)."""
     arrays = _exact_substring_span_arrays(
-        docs, min_len, id_col, text_col, hash_grams
+        docs, min_len, id_col, text_col, hash_grams, keep
     )
     text = F.col(text_col)
     spans = F.coalesce(

@@ -18,17 +18,24 @@ from sourmash_spark.operators.dedup import (
 )
 
 
-def _brute_spans(texts: dict[int, str], L: int) -> dict[int, list[tuple]]:
+def _brute_spans(
+    texts: dict[int, str], L: int, keep: str = "all"
+) -> dict[int, list[tuple]]:
     occ = Counter()
-    for t in texts.values():
+    first: dict[str, tuple] = {}
+    for d in sorted(texts):
+        t = texts[d]
         for i in range(len(t) - L + 1):
-            occ[t[i : i + L]] += 1
+            g = t[i : i + L]
+            occ[g] += 1
+            first.setdefault(g, (d, i + 1))
     out: dict[int, list[tuple]] = {}
     for d, t in texts.items():
         marked = [
             i + 1  # 1-based
             for i in range(len(t) - L + 1)
             if occ[t[i : i + L]] >= 2
+            and not (keep == "first" and first[t[i : i + L]] == (d, i + 1))
         ]
         spans: list[list[int]] = []
         for p in marked:
@@ -107,6 +114,39 @@ def test_hash_and_string_paths_agree(spark):
     a = exact_substring_spans(df, min_len=12, hash_grams=True)
     b = exact_substring_spans(df, min_len=12, hash_grams=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_keep_first_matches_bruteforce(spark):
+    """keep='first' leaves the globally-first copy unmarked: doc 0 keeps
+    the shared sentence, doc 1 loses it; doc 3's periodic repeat keeps a
+    prefix (the first L-window) and drops the rest."""
+    L = 20
+    want = {
+        (d, s, e)
+        for d, sp in _brute_spans(CORPUS, L, keep="first").items()
+        for (s, e) in sp
+    }
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(
+            _df(spark), min_len=L, keep="first"
+        ).collect()
+    }
+    assert got == want
+    assert not any(d == 0 for d, _, _ in got)  # first copy untouched
+    assert any(d == 1 for d, _, _ in got)
+
+    rows = {
+        r["doc_id"]: r
+        for r in exact_substring_removal(
+            _df(spark), min_len=L, keep="first"
+        ).collect()
+    }
+    bspans = _brute_spans(CORPUS, L, keep="first")
+    for d, t in CORPUS.items():
+        assert rows[d]["text_deduped"] == _brute_removed(t, bspans[d]), d
+    assert rows[0]["text_deduped"] == CORPUS[0]
+    assert "quick brown fox" not in rows[1]["text_deduped"]
 
 
 def test_min_len_longer_than_every_doc_is_empty(spark):

@@ -38,6 +38,9 @@ R5_NEW_OR_CHANGED = [
     # late-r5 scale audit: dedup.py exact_dedup_ids (array-free marking)
     "dedup_exact_marked",
     "dedup_exact",
+    # late-r5: exact suffix-array-substring semantics (new dedup.py code)
+    "dedup_substring_exact",
+    "dedup_substring_cut",
 ]
 
 # VERDICT r4 #4: every round must rotate >=10 previously-unwitnessed gates
