@@ -1,0 +1,99 @@
+"""PII / secret redaction for a training-data pipeline over `documents`.
+
+The standard pre-training scrub stage (emails, IPs, access keys — the
+BigCode/StarCoder-style pipeline applies exactly this class of regex
+redaction to code corpora before training): pure JVM column expressions
+(`regexp_count` + chained `regexp_replace`), no UDFs, no shuffle — a
+narrow projection that rides the corpus scan, linear at any corpus size.
+
+Patterns deliberately use the portable common subset of Java regex
+(Spark) and RE2 (DuckDB): character classes, bounded/unbounded repeats,
+alternation and `\\b` only — no lookarounds, no backreferences — so the
+identical pattern string replays bit-for-bit in both engines
+(cross-checked in tests/test_pii.py against BOTH a `re` oracle and a
+DuckDB `regexp_extract_all`/`regexp_replace(.., 'g')` oracle).
+
+Redaction is SEQUENTIAL in `kinds` order and each kind counts matches on
+the text as already redacted by the kinds before it, so `n_<kind>` is
+exactly the number of substitutions that kind performed — the counts and
+the output text can never disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+# kind -> (pattern, replacement token).  Order in PII_PATTERNS is the
+# default redaction order: most-specific first so a generic pattern never
+# eats a specific one's match (an AWS key is also 20 chars of [0-9A-Z],
+# but hex_secret requires >=32 hex chars so the two never overlap; emails
+# are redacted before IPs so a digit-heavy mail host is counted once).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (
+        r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}\b",
+        "<EMAIL>",
+    ),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+    "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    "hex_secret": (r"\b[0-9a-fA-F]{32,}\b", "<HEX_SECRET>"),
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kinds: tuple[str, ...] = tuple(PII_PATTERNS),
+    patterns: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """(id_col, n_<kind>..., text_redacted): per-kind substitution counts
+    and the text with every match replaced by its token, applied in
+    `kinds` order.  `patterns` overrides/extends PII_PATTERNS for
+    deployment-specific rules (same portable-regex contract).
+
+    Scale: one narrow projection — no exchange, no Python.  At 100 TB
+    this is a map-only pass fused into whatever scan feeds it.
+    """
+    pats = dict(PII_PATTERNS)
+    if patterns:
+        pats.update(patterns)
+    unknown = [k for k in kinds if k not in pats]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}")
+    cur: Column = F.col(text_col)
+    cols: list[Column] = [F.col(id_col)]
+    for kind in kinds:
+        pat, token = pats[kind]
+        cols.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
+    cols.append(cur.alias("text_redacted"))
+    return docs.select(*cols)
+
+
+def pii_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kinds: tuple[str, ...] = tuple(PII_PATTERNS),
+) -> str:
+    """The DuckDB rendering of the identical sequential redaction — the
+    cross-engine referee used by tests/test_pii.py (and available to a
+    future driver gate): RE2 replays the same portable patterns."""
+    sels = [id_col]
+    cur = text_col
+    for kind in kinds:
+        pat, token = PII_PATTERNS[kind]
+        lit = pat.replace("'", "''")
+        sels.append(
+            f"CAST(len(regexp_extract_all({cur}, '{lit}')) AS BIGINT)"
+            f" AS n_{kind}"
+        )
+        cur = f"regexp_replace({cur}, '{lit}', '{token}', 'g')"
+    sels.append(f"{cur} AS text_redacted")
+    return f"SELECT {', '.join(sels)} FROM {table}"
