@@ -149,6 +149,40 @@ def test_keep_first_matches_bruteforce(spark):
     assert "quick brown fox" not in rows[1]["text_deduped"]
 
 
+def test_property_random_corpora_match_bruteforce(spark):
+    """Randomized corpora over a tiny alphabet (dup-dense by construction,
+    so islands overlap and merge aggressively) + unicode chars to pin
+    char-not-byte semantics; both keep policies vs the brute oracle."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abéλ"
+    for trial in range(4):
+        texts = {
+            d: "".join(
+                rng.choice(alphabet) for _ in range(rng.randrange(0, 60))
+            )
+            for d in range(8)
+        }
+        L = rng.choice([3, 5])
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        for keep in ("all", "first"):
+            want = {
+                (d, s, e)
+                for d, sp in _brute_spans(texts, L, keep=keep).items()
+                for (s, e) in sp
+            }
+            got = {
+                (r["doc_id"], r["span_start"], r["span_end"])
+                for r in exact_substring_spans(
+                    df, min_len=L, keep=keep
+                ).collect()
+            }
+            assert got == want, (trial, keep, L, texts)
+
+
 def test_min_len_longer_than_every_doc_is_empty(spark):
     df = _df(spark)
     assert exact_substring_spans(df, min_len=500).count() == 0
