@@ -11,6 +11,14 @@ table and writes the surviving rows plus per-stage drop lineage:
                           segments in >= --segment-min-df surviving docs
                           stripped from all of them, text rewritten
                           (off unless --segment-min-df > 0)
+  5. substring dedup    — EXACT ExactSubstr removal: maximal spans of any
+                          >= --substring-min-len-char substring occurring
+                          twice corpus-wide are cut (keep-first policy:
+                          the globally-first copy survives), text
+                          rewritten (off unless --substring-min-len > 0)
+  6. PII redaction      — email/IP/access-key/hex-secret regex scrub
+                          (pii.redact_pii), text rewritten in place
+                          (off unless --redact-pii)
 
 Deploy:
     spark-submit --py-files sourmash_spark.zip jobs/quality_filter_job.py \
@@ -49,6 +57,20 @@ def main(argv: list[str] | None = None) -> int:
         "stage: newline-delimited segments appearing in >= this many "
         "distinct surviving documents are stripped from all of them "
         "(text rewritten in place; per-doc removal counts in lineage)",
+    )
+    ap.add_argument(
+        "--substring-min-len", type=int, default=0,
+        help="when > 0, add an exact duplicated-substring removal stage "
+        "(dedup.exact_substring_removal, keep='first'): every maximal "
+        "span covered by a substring of at least this many chars that "
+        "occurs twice anywhere in the surviving corpus is cut from all "
+        "but its first copy",
+    )
+    ap.add_argument(
+        "--redact-pii", action="store_true",
+        help="add a final PII/secret redaction stage (pii.redact_pii "
+        "default kinds); docs whose text changed are recorded in lineage "
+        "under stage pii_redacted (no row drop)",
     )
     args = ap.parse_args(argv)
 
@@ -122,6 +144,48 @@ def main(argv: list[str] | None = None) -> int:
             .join(
                 seg.select(idc, F.col("text_deduped").alias(txt)), idc
             )
+        )
+
+    # 5. optional exact substring dedup (rewrites text, drops no rows)
+    if args.substring_min_len > 0:
+        # same multi-read guard as the segment stage: the span marking
+        # and the rewrite join both derive from docs3
+        docs3 = docs3.localCheckpoint(eager=True)
+        cut = dedup_ops.exact_substring_removal(
+            docs3, min_len=args.substring_min_len, id_col=idc,
+            text_col=txt, keep="first",
+        )
+        drops.append(
+            cut.filter(F.col("n_removed") > 0)
+            .select(idc)
+            .withColumn("stage", F.lit("substring_dedup"))
+        )
+        docs3 = docs3.drop(txt).join(
+            cut.select(idc, F.col("text_deduped").alias(txt)), idc
+        )
+
+    # 6. optional PII redaction (map-only column expressions; rewrites
+    # text in place, drops no rows).  keep_cols threads the other corpus
+    # columns through the same projection — no join back, no recompute
+    if args.redact_pii:
+        from sourmash_spark.operators import pii as pii_ops
+
+        passthrough = [c for c in docs3.columns if c not in (idc, txt)]
+        red = pii_ops.redact_pii(
+            docs3, id_col=idc, text_col=txt, keep_cols=passthrough
+        )
+        count_cols = [
+            c for c in red.columns
+            if c.startswith("n_") and c not in docs3.columns
+        ]
+        n_hits = sum(F.col(c) for c in count_cols)
+        drops.append(
+            red.filter(n_hits > 0)
+            .select(idc)
+            .withColumn("stage", F.lit("pii_redacted"))
+        )
+        docs3 = red.select(
+            idc, *passthrough, F.col("text_redacted").alias(txt)
         )
 
     docs3.write.mode("overwrite").parquet(f"{args.output}/filtered.parquet")

@@ -49,11 +49,15 @@ def redact_pii(
     text_col: str = "text",
     kinds: tuple[str, ...] = tuple(PII_PATTERNS),
     patterns: dict[str, tuple[str, str]] | None = None,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id_col, n_<kind>..., text_redacted): per-kind substitution counts
-    and the text with every match replaced by its token, applied in
-    `kinds` order.  `patterns` overrides/extends PII_PATTERNS for
-    deployment-specific rules (same portable-regex contract).
+    """(id_col, keep_cols..., n_<kind>..., text_redacted): per-kind
+    substitution counts and the text with every match replaced by its
+    token, applied in `kinds` order.  `patterns` overrides/extends
+    PII_PATTERNS for deployment-specific rules (same portable-regex
+    contract).  `keep_cols` passes extra input columns through so a
+    pipeline can rewrite text in ONE projection instead of joining the
+    result back to the corpus (which would recompute the upstream plan).
 
     Scale: one narrow projection — no exchange, no Python.  At 100 TB
     this is a map-only pass fused into whatever scan feeds it.
@@ -66,6 +70,7 @@ def redact_pii(
         raise ValueError(f"unknown PII kinds: {unknown}")
     cur: Column = F.col(text_col)
     cols: list[Column] = [F.col(id_col)]
+    cols += [F.col(c) for c in keep_cols or []]
     for kind in kinds:
         pat, token = pats[kind]
         cols.append(

@@ -109,6 +109,52 @@ def test_quality_filter_job_partitions_input(spark, tmp_path):
     assert stages <= {"exact_dup", "gopher_quality", "decontaminate"}
 
 
+def test_quality_filter_job_rewrite_stages(spark, tmp_path):
+    """The two text-rewriting stages (exact substring dedup keep-first +
+    PII redaction): rows are never dropped, rewritten docs land in
+    lineage, and the output text is actually scrubbed."""
+    from jobs.quality_filter_job import main
+
+    src = str(tmp_path / "docs.parquet")
+    shared = "this exact boilerplate license header repeats everywhere " * 2
+    rows = [
+        (0, shared + "unique tail zero mail me at alice@example.com", "a"),
+        (1, shared + "unique tail one server 10.1.2.3 ok", "a"),
+        (2, "totally unique document two with nothing shared at all", "b"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "qf2")
+    assert main(
+        ["--input", src, "--output", out, "--min-words", "1",
+         "--substring-min-len", "40", "--redact-pii"]
+    ) == 0
+    kept = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{out}/filtered.parquet").collect()
+    }
+    lin = spark.read.parquet(f"{out}/lineage.parquet").collect()
+    stages = {(r["stage"], r["doc_id"]) for r in lin}
+    assert set(kept) == {0, 1, 2}  # rewrite stages drop nothing
+    # keep-first: doc 0 keeps exactly ONE copy of the boilerplate (the
+    # fixture's shared block is itself an intra-doc x2 repeat, so the
+    # second intra-doc copy is trimmed too); doc 1 loses it entirely
+    assert kept[0]["text"].count("boilerplate license header") == 1
+    assert "boilerplate license header" not in kept[1]["text"]
+    assert ("substring_dedup", 0) in stages  # intra-doc trim recorded
+    assert ("substring_dedup", 1) in stages
+    assert ("substring_dedup", 2) not in stages
+    # PII scrubbed in place, recorded in lineage
+    assert "<EMAIL>" in kept[0]["text"]
+    assert "alice@example.com" not in kept[0]["text"]
+    assert "<IP>" in kept[1]["text"]
+    assert ("pii_redacted", 0) in stages and ("pii_redacted", 1) in stages
+    assert ("pii_redacted", 2) not in stages
+    # passthrough columns survive both rewrites
+    assert kept[2]["source"] == "b"
+
+
 def test_ivf_assign_literal_matches_join_path(spark):
     """The plan-literal codebook assignment (narrow projection) is
     bit-for-bit interchangeable with the broadcast-crossJoin path,
