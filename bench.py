@@ -185,11 +185,14 @@ def main() -> None:
     # exact suffix-array-substring removal (late r5): stride-1 hashed-gram
     # marking + island merge + fold reassembly — O(total chars) rows,
     # the linear-cost exact complement to the winnowing approximation
+    # NOTE: collect()[0][0], not .agg(...).count() — Spark's one-row-plan
+    # rule knows a grouping-less aggregate returns exactly one row and
+    # constant-folds a count() on top of it, skipping the whole operator
     timed(
         "substring_exact",
         lambda: dedup_ops.exact_substring_removal(docs, min_len=40)
         .agg(F.sum("n_removed"))
-        .count(),
+        .collect()[0][0],
     )
     timed("text_quality", lambda: text_ops.quality_score(docs).count())
     timed(

@@ -671,16 +671,7 @@ def _exact_substring_span_arrays(
     collision (same declared trade as repeated_segment_removal).
     """
     L = min_len
-    grams = docs.select(
-        F.col(id_col),
-        F.posexplode(docops.char_shingles(F.col(text_col), L)).alias(
-            "pos0", "g"
-        ),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        (F.xxhash64("g") if hash_grams else F.col("g")).alias("_k"),
-    )
+    grams = _doc_grams(docs, L, id_col, text_col, hash_grams)
     if keep not in ("all", "first"):
         raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
     if keep == "first":
@@ -712,6 +703,33 @@ def _exact_substring_span_arrays(
             .select("_k")
         )
         marked = grams.join(dup, "_k").select(id_col, "pos")
+    return _merge_marked_to_spans(marked, L, id_col)
+
+
+def _doc_grams(
+    docs: DataFrame, L: int, id_col: str, text_col: str, hash_grams: bool
+) -> DataFrame:
+    """(id_col, pos, _k): every stride-1 L-gram with its 1-based position
+    and join key (xxhash64 on the scale path, raw string as the exactness
+    baseline) — the shared feed of the exact-substring family."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(docops.char_shingles(F.col(text_col), L)).alias(
+            "pos0", "g"
+        ),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        (F.xxhash64("g") if hash_grams else F.col("g")).alias("_k"),
+    )
+
+
+def _merge_marked_to_spans(
+    marked: DataFrame, L: int, id_col: str
+) -> DataFrame:
+    """(id_col, spans): merge marked window positions [p, p+L-1] into
+    maximal disjoint spans — one shuffle of only the marked rows, the
+    island merge itself a pure-column fold over the sorted positions."""
     empty_spans = F.array().cast(
         "array<struct<span_start:long,span_end:long>>"
     )
@@ -803,6 +821,16 @@ def exact_substring_removal(
     arrays = _exact_substring_span_arrays(
         docs, min_len, id_col, text_col, hash_grams, keep
     )
+    return _cut_spans(docs, arrays, id_col, text_col)
+
+
+def _cut_spans(
+    docs: DataFrame, arrays: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Splice each doc's text around its sorted disjoint `spans` array —
+    a pure-column fold over the inter-span gaps; docs absent from
+    `arrays` pass through unchanged.  Output: (id_col, n_spans,
+    n_removed, text_deduped)."""
     text = F.col(text_col)
     spans = F.coalesce(
         F.col("spans"),
@@ -840,3 +868,80 @@ def exact_substring_removal(
             kept.alias("text_deduped"),
         )
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Surgical benchmark decontamination — located: every maximal span of
+    a corpus document covered by a length->= `min_len` substring that
+    appears VERBATIM anywhere in the benchmark table.  The span-level
+    complement of `text.decontaminate` (which drops whole documents on
+    word-n-gram overlap): same window-marking machinery as
+    `exact_substring_spans`, but a position is marked by membership of its
+    L-gram in the benchmark gram set instead of by corpus df>=2.
+
+    Plan: corpus grams are the same stride-1 posexplode; the benchmark
+    side reduces to DISTINCT gram keys (tiny vs the corpus — benchmarks
+    are fixed-size), so the marking join is a semi-join Spark/AQE
+    broadcasts; islands merge in one marked-rows-only shuffle.  Scale is
+    O(corpus chars) map work + a broadcast probe — no corpus-keyed
+    exchange at all, cheaper than the dedup variant.
+
+    Output: (id_col, span_start, span_end), 1-based inclusive."""
+    grams = _doc_grams(docs, min_len, id_col, text_col, hash_grams)
+    bench_keys = (
+        _doc_grams(
+            bench.select(
+                F.lit(0).alias("_bid"), F.col(bench_text_col)
+            ),
+            min_len,
+            "_bid",
+            bench_text_col,
+            hash_grams,
+        )
+        .select("_k")
+        .distinct()
+    )
+    marked = grams.join(bench_keys, "_k", "left_semi").select(id_col, "pos")
+    arrays = _merge_marked_to_spans(marked, min_len, id_col)
+    return arrays.select(id_col, F.explode("spans").alias("s")).select(
+        id_col, "s.span_start", "s.span_end"
+    )
+
+
+def decontaminate_removal(
+    docs: DataFrame,
+    bench: DataFrame,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Cut every benchmark-contaminated span (see `decontaminate_spans`)
+    out of the corpus text, keeping the rest of each document — the
+    keep-the-document decontamination policy for corpora too valuable to
+    drop whole rows from.  Output: (id_col, n_spans, n_removed,
+    text_deduped)."""
+    grams = _doc_grams(docs, min_len, id_col, text_col, hash_grams)
+    bench_keys = (
+        _doc_grams(
+            bench.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
+            min_len,
+            "_bid",
+            bench_text_col,
+            hash_grams,
+        )
+        .select("_k")
+        .distinct()
+    )
+    marked = grams.join(bench_keys, "_k", "left_semi").select(id_col, "pos")
+    arrays = _merge_marked_to_spans(marked, min_len, id_col)
+    return _cut_spans(docs, arrays, id_col, text_col)

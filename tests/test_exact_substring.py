@@ -183,6 +183,75 @@ def test_property_random_corpora_match_bruteforce(spark):
             assert got == want, (trial, keep, L, texts)
 
 
+def _brute_decontam_spans(
+    texts: dict[int, str], bench: list[str], L: int
+) -> dict[int, list[tuple]]:
+    bgrams = {
+        b[i : i + L] for b in bench for i in range(len(b) - L + 1)
+    }
+    out: dict[int, list[tuple]] = {}
+    for d, t in texts.items():
+        marked = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if t[i : i + L] in bgrams
+        ]
+        spans: list[list[int]] = []
+        for p in marked:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = p + L - 1
+            else:
+                spans.append([p, p + L - 1])
+        out[d] = [tuple(s) for s in spans]
+    return out
+
+
+def test_decontaminate_spans_and_removal_match_bruteforce(spark):
+    from sourmash_spark.operators.dedup import (
+        decontaminate_removal,
+        decontaminate_spans,
+    )
+
+    L = 20
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "XY" * 15,
+    ]
+    bench = spark.createDataFrame(
+        [(t,) for t in bench_texts], "text string"
+    )
+    df = _df(spark)
+    want = {
+        (d, s, e)
+        for d, sp in _brute_decontam_spans(CORPUS, bench_texts, L).items()
+        for (s, e) in sp
+    }
+    for hg in (True, False):
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in decontaminate_spans(
+                df, bench, min_len=L, hash_grams=hg
+            ).collect()
+        }
+        assert got == want, hg
+    # the benchmark sentence is located in BOTH corpus copies, and the
+    # periodic bench doc contaminates doc 3 end-to-end
+    assert {d for d, _, _ in want} == {0, 1, 3}
+
+    bspans = _brute_decontam_spans(CORPUS, bench_texts, L)
+    rows = {
+        r["doc_id"]: r
+        for r in decontaminate_removal(df, bench, min_len=L).collect()
+    }
+    for d, t in CORPUS.items():
+        assert rows[d]["text_deduped"] == _brute_removed(t, bspans[d]), d
+        assert rows[d]["n_removed"] == sum(
+            e - s + 1 for s, e in bspans[d]
+        )
+    assert "quick brown fox" not in rows[0]["text_deduped"]
+    assert rows[2]["text_deduped"] == CORPUS[2]  # clean doc untouched
+
+
 def test_min_len_longer_than_every_doc_is_empty(spark):
     df = _df(spark)
     assert exact_substring_spans(df, min_len=500).count() == 0
