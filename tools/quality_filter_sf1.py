@@ -1,6 +1,7 @@
 """Run the chained quality-filter job at sf1 and persist its evidence
 (VERDICT r3 #7): per-stage drop lineage + wall time for the deploy-shaped
-exact-dedup -> Gopher-quality -> decontamination pass over the 10x corpus.
+exact-dedup -> Gopher-quality -> decontamination -> exact-substring-dedup
+(keep-first, 60-char) -> PII-redaction pass over the 10x corpus.
 
 The decontamination benchmark is the same deterministic subset the
 text_decontaminate oracle gate uses (doc_id % 97 == 3) written out as its
@@ -54,6 +55,8 @@ def main() -> None:
             "--output", os.path.join(OUT_DIR, "out"),
             "--benchmark", bench_path,
             "--ngram", "8",
+            "--substring-min-len", "60",
+            "--redact-pii",
         ],
         capture_output=True, text=True, env=env, timeout=3600,
     )
@@ -69,7 +72,10 @@ def main() -> None:
     evidence = {
         "job": "jobs/quality_filter_job.py",
         "sf_dir": SF1_DIR,
-        "stages": ["exact_dup", "gopher_quality", "decontaminate"],
+        "stages": [
+            "exact_dup", "gopher_quality", "decontaminate",
+            "substring_dedup", "pii_redacted",
+        ],
         "benchmark": "doc_id % 97 == 3 subset (same as the oracle gate)",
         "summary": summary,
         "harness_wall_sec": round(time.time() - t0, 2),
