@@ -945,3 +945,101 @@ def decontaminate_removal(
     marked = grams.join(bench_keys, "_k", "left_semi").select(id_col, "pos")
     arrays = _merge_marked_to_spans(marked, min_len, id_col)
     return _cut_spans(docs, arrays, id_col, text_col)
+
+
+def exact_substring_update(
+    docs_batch: DataFrame,
+    store_dir: str,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Incremental exact-substring removal for a versioned-ingest corpus:
+    process ONE batch of new documents against the gram-key store built by
+    all previous calls, return the removal output (id, n_spans, n_removed,
+    text_deduped) for THIS batch only, and append the batch's novel gram
+    keys to the store.
+
+    KEEP-FIRST IS INCREMENTALLY COMPUTABLE — that is the point of this
+    operator: under the keep-first policy a position is cut iff its
+    L-window occurred EARLIER (in ingest order), so a batch needs only
+    (a) the set of all gram keys seen in prior batches and (b) its own
+    intra-batch keep-first marking; later batches can never retroactively
+    change an earlier batch's output (keep-all can — a future duplicate
+    marks the past copy — which is why the batch API pins keep-first).
+    When batch doc-ids increase monotonically across calls, the
+    concatenated outputs are IDENTICAL to a from-scratch
+    `exact_substring_removal(union, keep="first")`
+    (tests/test_exact_substring.py pins this); with arbitrary ids,
+    "first" means ingest order — the semantics a daily-ingest deployment
+    actually wants.
+
+    Store layout follows `pipeline.incremental_update`'s convention:
+    `{store_dir}/increment=k` parquet subdirs of distinct `_k` keys (the
+    8-byte xxhash64 gram keys on the scale path); each call appends ONLY
+    keys not already stored, so the store stays globally distinct and a
+    call's write volume is batch-proportional.  On a real deployment the
+    store is an Iceberg table and the append is a MERGE; reading is one
+    columnar scan of a single 8-byte column.
+    """
+    import os
+
+    L = min_len
+    spark = docs_batch.sparkSession
+    grams = _doc_grams(docs_batch, L, id_col, text_col, hash_grams)
+
+    incs = []
+    if os.path.isdir(store_dir):
+        incs = sorted(
+            d for d in os.listdir(store_dir) if d.startswith("increment=")
+        )
+    # explicit schema: an increment whose batch brought nothing novel is
+    # an empty parquet dir, which schema inference cannot read
+    key_schema = f"_k {'long' if hash_grams else 'string'}"
+    stored = (
+        spark.read.schema(key_schema).parquet(
+            *(os.path.join(store_dir, d) for d in incs)
+        )
+        if incs
+        else None
+    )
+
+    # intra-batch keep-first marking (same shape as the batch operator)
+    dup = (
+        grams.groupBy("_k")
+        .agg(
+            F.count("*").alias("_occ"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .filter(F.col("_occ") >= 2)
+        .select("_k", "_first")
+    )
+    marked = (
+        grams.join(dup, "_k")
+        .filter(F.struct(F.col(id_col), F.col("pos")) != F.col("_first"))
+        .select(id_col, "pos")
+    )
+    if stored is not None:
+        # any window already in the store is a later copy by definition
+        # (duplicate positions across the two marked sets are benign: the
+        # island-merge fold re-extends the same span and moves on)
+        marked = marked.unionByName(
+            grams.join(stored, "_k", "left_semi").select(id_col, "pos")
+        )
+    out = _cut_spans(
+        docs_batch,
+        _merge_marked_to_spans(marked, L, id_col),
+        id_col,
+        text_col,
+    )
+
+    # append the batch's NOVEL keys before returning: `out` binds the
+    # pre-write increment list, so the new subdir cannot feed back into
+    # this batch's own marking
+    novel = grams.select("_k").distinct()
+    if stored is not None:
+        novel = novel.join(stored, "_k", "left_anti")
+    k = len(incs)
+    novel.write.parquet(os.path.join(store_dir, f"increment={k}"))
+    return out

@@ -252,6 +252,54 @@ def test_decontaminate_spans_and_removal_match_bruteforce(spark):
     assert rows[2]["text_deduped"] == CORPUS[2]  # clean doc untouched
 
 
+def test_incremental_update_equals_full_keep_first(spark, tmp_path):
+    """Three monotonically-id-ordered ingest batches through
+    exact_substring_update == one from-scratch keep-first removal of the
+    union — the incrementality theorem the operator documents."""
+    from sourmash_spark.operators.dedup import exact_substring_update
+
+    L = 20
+    store = str(tmp_path / "gramstore")
+    batches = [[0, 1], [2, 3], [4, 5]]
+    got = {}
+    for ids in batches:
+        df = spark.createDataFrame(
+            [(d, CORPUS[d]) for d in ids], "doc_id long, text string"
+        )
+        for r in exact_substring_update(df, store, min_len=L).collect():
+            got[r["doc_id"]] = (
+                r["n_spans"], r["n_removed"], r["text_deduped"]
+            )
+    want = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["text_deduped"])
+        for r in exact_substring_removal(
+            _df(spark), min_len=L, keep="first"
+        ).collect()
+    }
+    assert got == want
+    # the store stayed globally distinct across increments
+    import os
+
+    incs = [d for d in os.listdir(store) if d.startswith("increment=")]
+    assert len(incs) == 3
+    keys = spark.read.parquet(
+        *(os.path.join(store, d) for d in incs)
+    )
+    assert keys.count() == keys.distinct().count()
+    # re-ingesting an already-stored batch marks it fully duplicated
+    # against the store and appends nothing new
+    df0 = spark.createDataFrame(
+        [(99, CORPUS[0])], "doc_id long, text string"
+    )
+    r = exact_substring_update(df0, store, min_len=L).collect()[0]
+    brute = _brute_spans({0: CORPUS[0], 99: CORPUS[0]}, L, keep="first")
+    assert r["n_removed"] == sum(e - s + 1 for s, e in brute[99])
+    inc3 = spark.read.schema("_k long").parquet(
+        os.path.join(store, "increment=3")
+    )
+    assert inc3.count() == 0
+
+
 def test_min_len_longer_than_every_doc_is_empty(spark):
     df = _df(spark)
     assert exact_substring_spans(df, min_len=500).count() == 0
