@@ -155,3 +155,45 @@ def stream_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_substring_ingest(
+    stream_docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    min_len: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming exact-substring dedup: every micro-batch of new documents
+    flows through `dedup.exact_substring_update` (keep-first marking
+    against the gram-key store of everything already ingested, plus the
+    batch's intra-batch duplicates), the deduped batch appends to
+    `out_dir`, and the batch's novel gram keys append to the store.
+
+    Keep-first is what makes a STREAMING exact-substring dedup coherent
+    at all: an arriving duplicate is trimmed against the past and the
+    already-emitted past never needs revision (keep-all would).  Same
+    foreachBatch rationale as `stream_ingest`: each batch is a bounded
+    increment against a persistent store, and the streaming checkpoint's
+    exactly-once batch ids make the append idempotent per batch.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ..operators.dedup import exact_substring_update
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = exact_substring_update(
+            batch_df, store_dir, min_len=min_len,
+            id_col=id_col, text_col=text_col,
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    return (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -300,6 +300,43 @@ def test_incremental_update_equals_full_keep_first(spark, tmp_path):
     assert inc3.count() == 0
 
 
+def test_stream_substring_ingest_equals_batch(spark, tmp_path):
+    """Two file-source arrival waves drained with availableNow through
+    stream_substring_ingest == the from-scratch keep-first removal of
+    everything ingested (same theorem as the batch incremental test,
+    exercised through the Structured-Streaming face)."""
+    from sourmash_spark.streaming.watch import stream_substring_ingest
+
+    L = 20
+    src = str(tmp_path / "arrivals")
+    store = str(tmp_path / "gramstore")
+    out = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt")
+
+    waves = [[0, 1, 2], [3, 4, 5]]
+    for ids in waves:
+        spark.createDataFrame(
+            [(d, CORPUS[d]) for d in ids], "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        q = stream_substring_ingest(stream, store, ckpt, out, min_len=L)
+        q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["text_deduped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["text_deduped"])
+        for r in exact_substring_removal(
+            _df(spark), min_len=L, keep="first"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_min_len_longer_than_every_doc_is_empty(spark):
     df = _df(spark)
     assert exact_substring_spans(df, min_len=500).count() == 0
