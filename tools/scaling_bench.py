@@ -87,7 +87,11 @@ def run_once(cores: int, corpus_path: str, n_files: int) -> dict:
 
     pipeline_wall = float("inf")
     n_clusters = 0
-    for _ in range(reps):
+    # sketch-only mode: the north rule's gated metric is SIGNATURE
+    # throughput scaling; at very large corpora the full-pipeline loop
+    # doesn't fit a sandbox window, so it can be skipped per-run
+    pipeline_reps = 0 if os.environ.get("SCALE_SKIP_PIPELINE") else reps
+    for _ in range(pipeline_reps):
         t0 = time.time()
         sigs = sketch_signatures(files, P, keep_cols=["sig_id"]).cache()
         sigs.count()
@@ -102,14 +106,16 @@ def run_once(cores: int, corpus_path: str, n_files: int) -> dict:
         pipeline_wall = min(pipeline_wall, time.time() - t0)
         sigs.unpersist()
     spark.stop()
-    return {
+    res = {
         "cores": cores,
         "sketch_wall_sec": round(sketch_wall, 2),
         "sketch_sigs_per_sec": round(n_files / sketch_wall, 1),
-        "pipeline_wall_sec": round(pipeline_wall, 2),
-        "pipeline_files_per_sec": round(n_files / pipeline_wall, 1),
         "n_clusters": n_clusters,
     }
+    if pipeline_reps:
+        res["pipeline_wall_sec"] = round(pipeline_wall, 2)
+        res["pipeline_files_per_sec"] = round(n_files / pipeline_wall, 1)
+    return res
 
 
 def run_level(cores: int, corpus_path: str, n_files: int) -> dict:
@@ -124,7 +130,8 @@ def run_level(cores: int, corpus_path: str, n_files: int) -> dict:
     env["SCALE_RUN_CORPUS"] = corpus_path
     out = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, __file__],
-        env=env, capture_output=True, text=True, timeout=1800,
+        env=env, capture_output=True, text=True,
+        timeout=int(os.environ.get("SCALE_LEVEL_TIMEOUT", "1800")),
     )
     for line in reversed(out.stdout.splitlines()):
         if line.startswith('{"cores"'):
@@ -159,7 +166,10 @@ def main() -> None:
         if res["sketch_wall_sec"] < acc["sketch_wall_sec"]:
             best["sketch_wall_sec"] = res["sketch_wall_sec"]
             best["sketch_sigs_per_sec"] = res["sketch_sigs_per_sec"]
-        if res["pipeline_wall_sec"] < acc["pipeline_wall_sec"]:
+        if res.get("pipeline_wall_sec") is not None and (
+            acc.get("pipeline_wall_sec") is None
+            or res["pipeline_wall_sec"] < acc["pipeline_wall_sec"]
+        ):
             best["pipeline_wall_sec"] = res["pipeline_wall_sec"]
             best["pipeline_files_per_sec"] = res["pipeline_files_per_sec"]
         return best
@@ -170,7 +180,8 @@ def main() -> None:
     eff_sketch = round(
         big["sketch_sigs_per_sec"] / (4 * small["sketch_sigs_per_sec"]), 3
     )
-    eff_pipeline = round(
+    sketch_only = small.get("pipeline_files_per_sec") is None
+    eff_pipeline = None if sketch_only else round(
         big["pipeline_files_per_sec"] / (4 * small["pipeline_files_per_sec"]), 3
     )
     result = {
@@ -183,9 +194,10 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    out_path = os.environ.get("SCALE_OUT", "/root/repo/BENCH/SCALING.json")
     # machine-readable twin of the BASELINE.md scaling table (r4): lets the
     # driver/judge diff scaling-efficiency regressions mechanically
-    with open("/root/repo/BENCH/SCALING.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(
             {
                 **result,
@@ -197,6 +209,10 @@ def main() -> None:
             f, indent=1, sort_keys=True,
         )
         f.write("\n")
+    if sketch_only:
+        # BASELINE.md's headline table is the full-pipeline protocol;
+        # sketch-only runs are cited from their SCALE_OUT json instead
+        return
     section = (f"""# BENCH/BASELINE — scaling evidence (north rule)
 
 Identical job (sketch -> LSH bands -> candidates -> exact verify ->
