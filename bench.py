@@ -14,9 +14,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def host_calibration() -> float:
+    """Fixed single-thread CPU probe: one vectorized murmur pass over a
+    constant 10M-window buffer (the suite's own hash kernel, no Spark).
+
+    The sandbox host shows hypervisor steal bursts (15x per-batch swings
+    measured on identical work — BENCH/BASELINE.md notes), so the suite
+    wall alone cannot distinguish an engine regression from a slow host
+    window.  This probe runs before and after the timed sweeps; a clean
+    window measures ~0.65-1.0 s (observed same-minute spread on this host:
+    0.66-5.15 s), and suite walls scale roughly with it.
+    """
+    import numpy as np
+
+    from sourmash_spark.hashing import murmur64_fixed
+
+    rng = np.random.default_rng(12345)
+    buf = rng.integers(65, 91, size=10_000_000 + 20, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(buf, 21)
+    t0 = time.time()
+    murmur64_fixed(windows, 42)
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cal_before = host_calibration()
 
     import pyspark.sql.functions as F
 
@@ -330,6 +354,11 @@ def main() -> None:
             f"1 untimed warmup sweep + best-of-{reps} "
             "interleaved sweeps"
         ),
+        # host-speed normalizer (clean window ~0.65-1.0 s; see BASELINE.md)
+        "host_calibration_sec": {
+            "before": cal_before,
+            "after": host_calibration(),
+        },
     }
     # two-scale block (VERDICT r3 #4): when this is the default sf0.1 run
     # and a committed sf1 measurement exists (tools/bench_sf1.py), embed it
