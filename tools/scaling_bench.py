@@ -106,11 +106,17 @@ def run_once(cores: int, corpus_path: str, n_files: int) -> dict:
         pipeline_wall = min(pipeline_wall, time.time() - t0)
         sigs.unpersist()
     spark.stop()
+    # host-speed probe (same kernel as bench.host_calibration): records
+    # how steal-slowed THIS level's window was, so two-level efficiency
+    # can be read next to the host speed at each level
+    from bench import host_calibration
+
     res = {
         "cores": cores,
         "sketch_wall_sec": round(sketch_wall, 2),
         "sketch_sigs_per_sec": round(n_files / sketch_wall, 1),
         "n_clusters": n_clusters,
+        "host_calibration_sec": host_calibration(),
     }
     if pipeline_reps:
         res["pipeline_wall_sec"] = round(pipeline_wall, 2)
@@ -161,8 +167,15 @@ def main() -> None:
 
     def merge(acc: dict, res: dict) -> dict:
         if not acc:
+            res = dict(res)
+            res["host_calibration_sec_runs"] = [
+                res.pop("host_calibration_sec", None)
+            ]
             return res
         best = dict(acc)
+        best.setdefault("host_calibration_sec_runs", []).append(
+            res.get("host_calibration_sec")
+        )
         if res["sketch_wall_sec"] < acc["sketch_wall_sec"]:
             best["sketch_wall_sec"] = res["sketch_wall_sec"]
             best["sketch_sigs_per_sec"] = res["sketch_sigs_per_sec"]
