@@ -222,9 +222,11 @@ def main() -> None:
             f, indent=1, sort_keys=True,
         )
         f.write("\n")
-    if sketch_only:
+    if sketch_only or os.environ.get("SCALE_NO_MD"):
         # BASELINE.md's headline table is the full-pipeline protocol;
-        # sketch-only runs are cited from their SCALE_OUT json instead
+        # sketch-only runs are cited from their SCALE_OUT json instead,
+        # and SCALE_NO_MD lets exploratory runs record a json without
+        # rewriting the headline (e.g. when notes narrate a specific run)
         return
     section = (f"""# BENCH/BASELINE — scaling evidence (north rule)
 
