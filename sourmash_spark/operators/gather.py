@@ -176,35 +176,76 @@ def _greedy_rounds(
     total_weighted = (
         sum(abund_map.values()) if track_abund else int(query.size)
     )
-    remaining = query.copy()
-    results = []
-    rank = 0
+    results: list[dict] = []
     orig_len = int(query.size)
-    while cands and remaining.size:
-        best_id, best_ov = None, -1
-        # (md5, id) sort makes the equal-overlap tie-break deterministic
-        # even for duplicate-md5 collections — the cluster path's
-        # orderBy(desc overlap, asc md5, asc id) mirrors it exactly
-        for cid in sorted(cands, key=lambda c: (md5_of[c], c)):
-            ov = int(np.intersect1d(cands[cid], remaining).size)
-            if ov > best_ov:
-                best_id, best_ov = cid, ov
+    orig = np.unique(query)
+    if not cands or not orig.size:
+        return results, orig
+
+    # CounterGather-style bookkeeping (the reference decrements counters
+    # instead of re-intersecting every candidate every round,
+    # index/__init__.py:735-909): overlap counts are maintained under
+    # subtraction via ONE sorted postings index, so total work over all
+    # rounds is O(sum of candidate sizes), not O(rounds x candidates x
+    # intersect).  Winner choice and all row math are unchanged — the
+    # (md5, id) candidate order below makes np.argmax's first-max winner
+    # identical to the old sorted-iteration strictly-greater scan.
+    order = sorted(cands, key=lambda c: (md5_of[c], c))
+    arrs = [np.unique(cands[c]) for c in order]
+    n_cand = len(order)
+    own = np.repeat(
+        np.arange(n_cand), np.array([a.size for a in arrs], dtype=np.int64)
+    )
+    allh = np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+    # restrict the index to postings that can ever be counted (h in query)
+    pos = np.searchsorted(orig, allh)
+    pos[pos == orig.size] = 0
+    in_q = orig[pos] == allh
+    allh, own = allh[in_q], own[in_q]
+    sort_ix = np.argsort(allh, kind="stable")
+    sorted_h, sorted_own = allh[sort_ix], own[sort_ix]
+    # ov[c] == |c ∩ remaining| is the loop invariant; ov0 is |c ∩ query|
+    # (orig_inter's definition — GatherResult's self.cmp basis)
+    ov0 = np.bincount(own, minlength=n_cand).astype(np.int64)
+    ov = ov0.copy()
+    alive = np.ones(orig.size, dtype=bool)
+    n_alive = int(orig.size)
+    rank = 0
+    while n_alive:
+        winner = int(np.argmax(ov))
+        best_ov = int(ov[winner])
         if best_ov < min_hashes or best_ov <= 0:
             break
-        match = cands.pop(best_id)
-        found = np.intersect1d(remaining, match)
-        orig_inter = int(np.intersect1d(query, match).size)
+        match = arrs[winner]
+        mpos = np.searchsorted(orig, match)
+        mpos[mpos == orig.size] = 0
+        mvalid = (orig[mpos] == match) & alive[mpos]
+        found = match[mvalid]
         row = _gather_row(
-            found, orig_inter, int(match.size), int(remaining.size),
+            found, int(ov0[winner]), int(match.size), n_alive,
             orig_len, rank, scaled, ksize, abund_map, total_weighted,
             estimate_ani_ci,
         )
+        best_id = order[winner]
         row["sig_id"] = best_id
         row["md5"] = md5_of[best_id]
         results.append(row)
-        remaining = np.setdiff1d(remaining, match)
+        alive[mpos[mvalid]] = False
+        n_alive -= int(found.size)
+        # decrement every candidate holding a removed hash: contiguous
+        # [lo, hi) runs of each found hash in the sorted postings index
+        lo = np.searchsorted(sorted_h, found, side="left")
+        hi = np.searchsorted(sorted_h, found, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total:
+            flat = np.repeat(lo, counts) + (
+                np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+            )
+            np.add.at(ov, sorted_own[flat], -1)
+        ov[winner] = -1  # consumed
         rank += 1
-    return results, remaining
+    return results, orig[alive]
 
 
 # Past this many unfolded rounds the cluster loop bakes the consumed-id

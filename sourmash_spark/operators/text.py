@@ -188,56 +188,74 @@ def gopher_quality(
     * n_words, mean_word_len
     * dup_line_frac: 1 - distinct(lines)/lines (0 for single-line docs)
     * top2gram_frac: occurrences of the most frequent word 2-gram over all
-      2-grams (the repetition signal; computed with explode + two map-side
-      combined aggs, NOT a per-row quadratic scan)
+      2-grams (the repetition signal; the max count equals the longest run
+      of equal elements in the SORTED per-doc gram array, so it is a pure
+      column fold — no explode, no exchange, no join)
     * noalpha_frac: fraction of words with no alphabetic character
     * passes: every signal within its threshold
 
-    All other metrics are single narrow projections; the only exchange is
-    the 2-gram count agg keyed by doc_id."""
+    The whole operator is ONE narrow projection (zero exchanges): the word
+    and line arrays are let-bound through a staged projection so each is
+    computed once per row (lambda-bearing expressions are excluded from
+    Spark's CSE — an unstaged `words(text)` re-splits per reference)."""
     w = docops.words(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
-    base = docs.select(
+    staged = docs.select(
         F.col(id_col),
-        F.size(w).cast("long").alias("n_words"),
+        w.alias("_w"),
+        lines.alias("_lines"),
+        F.array_sort(docops.word_ngrams(F.col(text_col), 2)).alias("_g2"),
+    )
+    wc = F.col("_w")
+    # longest run of equal adjacent elements == max count of any 2-gram
+    # (grams are never the empty string: words are non-empty and space-
+    # joined, so '' is a safe run-tracker initial value)
+    run_max = F.aggregate(
+        F.col("_g2"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: docops.let(
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            ),
+            lambda r: F.struct(
+                x.alias("prev"),
+                r.alias("run"),
+                F.greatest(acc["best"], r).alias("best"),
+            ),
+        ),
+        lambda acc: acc["best"],
+    )
+    out = staged.select(
+        F.col(id_col),
+        F.size(wc).cast("long").alias("n_words"),
         F.round(
             F.aggregate(
-                w, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
+                wc, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")
             )
-            / F.greatest(F.size(w), F.lit(1)),
+            / F.greatest(F.size(wc), F.lit(1)),
             6,
         ).alias("mean_word_len"),
         F.round(
             1.0
-            - F.size(F.array_distinct(lines))
-            / F.greatest(F.size(lines), F.lit(1)),
+            - F.size(F.array_distinct(F.col("_lines")))
+            / F.greatest(F.size(F.col("_lines")), F.lit(1)),
             6,
         ).alias("dup_line_frac"),
         F.round(
-            F.size(F.filter(w, lambda x: ~x.rlike("[A-Za-z]")))
-            / F.greatest(F.size(w), F.lit(1)),
+            F.size(F.filter(wc, lambda x: ~x.rlike("[A-Za-z]")))
+            / F.greatest(F.size(wc), F.lit(1)),
             6,
         ).alias("noalpha_frac"),
-    )
-    g2 = docs.select(
-        F.col(id_col),
-        F.explode(docops.word_ngrams(F.col(text_col), 2)).alias("g"),
-    )
-    top2 = (
-        g2.groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.max("c").alias("_top"),
-            F.sum("c").alias("_tot"),
+        F.when(
+            F.size("_g2") > 0,
+            F.round(run_max / F.size("_g2"), 6),
         )
-        .select(
-            F.col(id_col),
-            F.round(F.col("_top") / F.col("_tot"), 6).alias("top2gram_frac"),
-        )
-    )
-    out = base.join(top2, id_col, "left").withColumn(
-        "top2gram_frac", F.coalesce("top2gram_frac", F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("top2gram_frac"),
     )
     passes = (
         (F.col("n_words") >= min_words)
