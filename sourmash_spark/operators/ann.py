@@ -316,45 +316,86 @@ def embedding_neardup_lsh(
     acos(threshold); verification is exact, so false positives are zero.
     Defaults (T=8, q=6) give >= 0.99 at cosine 0.9.  `bucket_cap` drops
     degenerate buckets (mass on a boundary) with lineage in mind — callers
-    at scale should log what was dropped."""
+    at scale should log what was dropped.
+
+    Plan (guide §4.2 shape — batch native math instead of interpreted
+    HOF folds, bit-identical by the cumsum fold-order argument in
+    `_np_fold_dots`): one mapInPandas computes every table bucket per
+    vector in numpy; one exchange groups (table_idx, bucket); within each
+    bucket applyInPandas emits near-pairs (raw-cosine pre-filter with the
+    lossless `_NEAR_PAIR_TOL` under-shoot); the exact 6-decimal round +
+    threshold compare runs as the SAME column expression as before on the
+    returned (dot, na, nb).  A pair found in several buckets emits
+    byte-identical rows (deterministic dots), collapsed by distinct()."""
+    import numpy as np
+    import pandas as pd
+
     if dim is None:
         dim = _infer_dim(embs, vec_col)
-    tb = hyperplane_lsh_tables(embs, n_tables, n_planes, dim, id_col, vec_col)
-    if bucket_cap:
-        sizes = (
-            tb.groupBy("table_idx", "bucket")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") <= bucket_cap)
-            .select("table_idx", "bucket")
+    planes = np.asarray(
+        plane_matrix(n_tables * n_planes, dim), dtype=np.float64
+    )
+    masks = np.asarray(
+        [[1 << p for p in range(n_planes)]], dtype=np.int64
+    )
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = _np_fold_dots(X, planes)  # (n, T*q)
+            bits = (dots >= 0).reshape(len(pdf), n_tables, n_planes)
+            buckets = (bits * masks).sum(axis=2, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "_buckets": list(buckets),
+                    vec_col: [x for x in X],
+                }
+            )
+
+    tbv = embs.select(id_col, vec_col).mapInPandas(
+        bucketize,
+        f"{id_col} long, _buckets array<long>, {vec_col} array<double>",
+    ).select(
+        id_col,
+        vec_col,
+        F.posexplode("_buckets").alias("table_idx", "bucket"),
+    )
+
+    min_raw = threshold - _NEAR_PAIR_TOL
+
+    def near_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or (bucket_cap and n > bucket_cap):
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "dot": pd.Series(dtype="float64"),
+                    "na": pd.Series(dtype="float64"),
+                    "nb": pd.Series(dtype="float64"),
+                }
+            )
+        ids = pdf[id_col].to_numpy()
+        X = np.stack(pdf[vec_col].to_numpy())
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+        a, b, d, na, nb = _np_near_pairs(ids, X, min_raw)
+        return pd.DataFrame(
+            {"id_a": a, "id_b": b, "dot": d, "na": na, "nb": nb}
         )
-        tb = tb.join(sizes, ["table_idx", "bucket"])
-    a = tb.select(F.col(id_col).alias("id_a"), "table_idx", "bucket")
-    b = tb.select(F.col(id_col).alias("id_b"), "table_idx", "bucket")
-    cand = (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # exact verify: norms once per vector, unrolled dot per pair (codegen)
-    va = embs.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        _norm(vec_col).alias("_na"),
-    )
-    vb = embs.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        _norm(vec_col).alias("_nb"),
+
+    pairs = tbv.groupBy("table_idx", "bucket").applyInPandas(
+        near_pairs,
+        "id_a long, id_b long, dot double, na double, nb double",
     )
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        pairs.distinct()
         .withColumn(
             "cosine",
-            F.round(
-                _dot_cols("va", "vb", dim) / (F.col("_na") * F.col("_nb")), 6
-            ),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -403,6 +444,82 @@ def neardup_lsh_params(
     base_miss = (1.0 - p**base_planes) ** base_tables
     t = math.ceil(math.log(base_miss) / math.log(1.0 - p**q))
     return max(base_tables, t), q
+
+
+def _np_fold_dots(X, P):
+    """Dot products of every row of X against every row of P with Spark's
+    HOF-fold summation ORDER: `aggregate(zip_with(x, c, *), 0.0, +)` is the
+    running sum ((0+x0*c0)+x1*c1)+..., and 0.0+v == v exactly in IEEE, so
+    the fold equals the sequential prefix sum of the per-element products —
+    which is exactly `np.cumsum` (np.add.accumulate, sequential by
+    definition).  A BLAS matmul would sum pairwise and could differ in the
+    last ulp, flipping a sign at a bucket boundary; this path is bit-equal
+    to the column-expression kernels (and to the DuckDB oracle's
+    list_reduce, same grouping).  X: (n, d) f64; P: (m, d) f64 → (n, m)."""
+    import numpy as np
+
+    out = np.empty((X.shape[0], P.shape[0]))
+    for j in range(P.shape[0]):
+        out[:, j] = np.cumsum(X * P[j], axis=1)[:, -1]
+    return out
+
+
+def _np_fold_norms(X):
+    """sqrt(fold of squares) — bit-equal to `_norm` (same cumsum argument
+    as _np_fold_dots)."""
+    import numpy as np
+
+    return np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+
+
+def _np_near_pairs(ids, X, min_raw, block: int = 256):
+    """All within-group pairs (i < j by id order) whose RAW cosine
+    dot/(na*nb) is >= `min_raw` — the numpy verify kernel shared by
+    semantic_dedup and embedding_neardup_lsh.  `min_raw` must under-shoot
+    the caller's exact threshold (the exact round+compare happens in Spark
+    on the returned dot/na/nb, identical to the column-kernel formula), so
+    this is a lossless pre-filter.  Dots/norms use the fold-order-exact
+    kernels above.  Blocked so per-step memory is O(block^2 * d).
+
+    Returns (id_a, id_b, dot, na, nb) numpy arrays; `ids` MUST be sorted
+    ascending and unique (callers sort)."""
+    import numpy as np
+
+    n = len(ids)
+    norms = _np_fold_norms(X)
+    out_a, out_b, out_d, out_na, out_nb = [], [], [], [], []
+    for i0 in range(0, n, block):
+        i1 = min(i0 + block, n)
+        for j0 in range(i0, n, block):
+            j1 = min(j0 + block, n)
+            prod = X[i0:i1, None, :] * X[None, j0:j1, :]
+            dots = np.cumsum(prod, axis=2)[:, :, -1]
+            cos = dots / (norms[i0:i1, None] * norms[None, j0:j1])
+            ii, jj = np.nonzero(cos >= min_raw)
+            gi, gj = ii + i0, jj + j0
+            keep = gi < gj
+            gi, gj = gi[keep], gj[keep]
+            out_a.append(ids[gi])
+            out_b.append(ids[gj])
+            out_d.append(dots[ii[keep], jj[keep]])
+            out_na.append(norms[gi])
+            out_nb.append(norms[gj])
+    if not out_a:
+        z = np.empty(0)
+        return z.astype(np.int64), z.astype(np.int64), z, z, z
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_d),
+        np.concatenate(out_na),
+        np.concatenate(out_nb),
+    )
+
+
+# Safety under-shoot for the numpy raw-cosine pre-filter: a pair whose
+# ROUNDED (6-decimal, HALF_UP) cosine meets the threshold has raw cosine
+# within 5e-7 of it; 1e-5 covers that with margin to spare.
+_NEAR_PAIR_TOL = 1e-5
 
 
 def _sqdist(a: str, b: str) -> F.Column:
@@ -800,55 +917,100 @@ def semantic_dedup(
 
     Returns the duplicate rows: (vec_id, cell, dup_of, cosine).
 
-    Scale shape: the cell is the blocking key — the only pair join is the
-    within-cell self-join, O(sum cell_size^2) with cell sizes ~ N/n_cells
-    (grow n_cells with N; a real deployment feeds k-means centroids via
-    `centroids`).  Centroid assignment is a broadcast crossJoin against
-    the small codebook, same plan as ivf_topk."""
+    Scale shape: the cell is the blocking key — the only exchange is the
+    groupBy(cell), with cell sizes ~ N/n_cells (grow n_cells with N; a
+    real deployment feeds k-means centroids via `centroids`).
+
+    Plan (guide §4.2 — batch native math instead of interpreted HOF
+    folds, bit-identical by the cumsum fold-order argument in
+    `_np_fold_dots`): one mapInPandas assigns each vector its nearest
+    cell in numpy (same sqdist fold and (distance, cell) tie-break as
+    ivf_assign_literal); within each cell applyInPandas emits near-pairs
+    (raw-cosine pre-filter with the lossless `_NEAR_PAIR_TOL`
+    under-shoot); the exact 6-decimal round + eps compare and the
+    rank-1 window run as the SAME column expressions as before."""
+    import numpy as np
+    import pandas as pd
+
     if centroids is None:
         # deterministic seed codebook, same convention as ivf_topk
         centroids = embs.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell"), vec_col
         )
-    cells = ivf_assign_literal(
-        embs, centroids, id_col, vec_col, n_probe=1
-    ).select(id_col, "cell")
-    # norm precomputed ONCE per vector: the pair stage then runs ONE fold
-    # (the dot) instead of three — cosine = dot/(sqrt(ssa)*sqrt(ssb))
-    # factors exactly, so values stay bit-identical to
-    # docops.cosine_similarity (the oracle's formula)
-    nrm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    crows = sorted(
+        (int(r["cell"]), [float(x) for x in r[vec_col]])
+        for r in centroids.select("cell", vec_col).collect()
+    )
+    cell_ids = np.asarray([c for c, _ in crows], dtype=np.int64)
+    C = np.asarray([v for _, v in crows], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # sqdist with the fold's summation order: cumsum of the
+            # per-element squared differences (see _np_fold_dots)
+            d = np.empty((len(pdf), len(cell_ids)))
+            for j in range(len(cell_ids)):
+                diff = X - C[j]
+                d[:, j] = np.cumsum(diff * diff, axis=1)[:, -1]
+            # argmin first-hit == lexicographic (d, cell) min: crows are
+            # cell-ascending, matching ivf_assign_literal's array_sort
+            win = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cell_ids[win].astype(np.int32),
+                    vec_col: [x for x in X],
+                }
+            )
+
+    v = embs.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, cell int, {vec_col} array<double>"
+    )
+
+    min_raw = eps - _NEAR_PAIR_TOL
+
+    def near_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int32"),
+                "dot": pd.Series(dtype="float64"),
+                "na": pd.Series(dtype="float64"),
+                "nb": pd.Series(dtype="float64"),
+            }
         )
-    )
-    v = embs.select(
-        F.col(id_col), F.col(vec_col), nrm.alias("_n")
-    ).join(cells, id_col)
-    a = v.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"), "cell",
-    )
-    b = v.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"), "cell",
-    )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("_va"), F.col("_vb"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        X = np.stack(pdf[vec_col].to_numpy())
+        order = np.argsort(ids, kind="stable")
+        ids, X = ids[order], X[order]
+        a, b, d, na, nb = _np_near_pairs(ids, X, min_raw)
+        return pd.DataFrame(
+            {
+                "id_a": a,
+                "id_b": b,
+                "cell": np.full(a.size, pdf["cell"].iloc[0], dtype=np.int32),
+                "dot": d,
+                "na": na,
+                "nb": nb,
+            }
+        )
+
     pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
+        v.groupBy("cell")
+        .applyInPandas(
+            near_pairs,
+            "id_a long, id_b long, cell int, dot double, na double, "
+            "nb double",
+        )
         .withColumn(
             "cosine",
-            F.round(dot / (F.col("_na") * F.col("_nb")), 6),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6),
         )
         .filter(F.col("cosine") >= eps)
     )

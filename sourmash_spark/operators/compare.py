@@ -247,14 +247,17 @@ def compare_all_pairs(
         F.col(sig_id).alias("sig_id_b"), F.col("n_hashes").alias("size_b"),
         "hashval",
     )
+    # sizes ride the GROUP KEY, not first() aggregates: size_a/size_b are
+    # functionally determined by the id pair, so the groups are identical,
+    # and the aggregate keeps a single count buffer per group instead of
+    # count + two first/valueSet trackers
     pairs = (
         a.join(b, "hashval")
         .filter(F.col("sig_id_a") < F.col("sig_id_b"))
-        .groupBy("sig_id_a", "sig_id_b")
-        .agg(
-            F.count("*").alias("intersect_hashes"),
-            F.first("size_a").alias("size_a"),
-            F.first("size_b").alias("size_b"),
+        .groupBy("sig_id_a", "sig_id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("intersect_hashes"))
+        .select(
+            "sig_id_a", "sig_id_b", "intersect_hashes", "size_a", "size_b"
         )
     )
     inter = F.col("intersect_hashes")

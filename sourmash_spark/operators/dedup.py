@@ -141,15 +141,14 @@ def minhash_pairs60(
         F.col(id_col).alias("id_b"), F.col("n_hashes").alias("size_b"),
         "hashval",
     )
+    # sizes in the GROUP KEY (functionally determined by the id pair) —
+    # one count buffer per group instead of count + two first() trackers
     pairs = (
         a.join(b, "hashval")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("intersect_hashes"),
-            F.first("size_a").alias("size_a"),
-            F.first("size_b").alias("size_b"),
-        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("intersect_hashes"))
+        .select("id_a", "id_b", "intersect_hashes", "size_a", "size_b")
     )
     return (
         pairs.withColumn(
@@ -225,15 +224,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"), F.col("n_grams").alias("size_b"),
         "gram",
     )
+    # sizes in the GROUP KEY (functionally determined by the id pair) —
+    # one count buffer per group instead of count + two first() trackers
     pairs = (
         a.join(b, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("shared"),
-            F.first("size_a").alias("size_a"),
-            F.first("size_b").alias("size_b"),
-        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("shared"))
+        .select("id_a", "id_b", "shared", "size_a", "size_b")
     )
     return (
         pairs.withColumn(

@@ -29,6 +29,25 @@ def let(col: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(col), fn), 1)
 
 
+def opaque(c: Column) -> Column:
+    """Make a column OPTIMIZER-OPAQUE without changing its value: a
+    one-element `shuffle(array(c))[1]` is the identity, but `shuffle` is
+    non-deterministic, so the optimizer may not push filters through it,
+    collapse it into downstream projections, or duplicate it per
+    reference.  (A `when(rand() < 2.0, c)` guard does NOT work — the
+    optimizer proves rand's value range and folds the guard away.)
+
+    Why: lambda-bearing expressions (transform/aggregate/filter HOFs) are
+    excluded from Spark's common-subexpression elimination, and predicate
+    pushdown SUBSTITUTES a projected column's defining expression into the
+    pushed filter — a downstream `filter(f(expensive_col))` therefore
+    re-evaluates the full expression tree once per reference (measured
+    ~15x on gopher_quality under quality-chain filters).  Behind this
+    wrapper the staged column materializes exactly once per row and all
+    downstream references are plain attribute reads."""
+    return F.element_at(F.shuffle(F.array(c)), 1)
+
+
 def winnow_mins(text: Column, k: int, window: int) -> Column:
     """Array of winnowing window-minima (Schleimer et al.): hash60 every
     k-gram, min of each sliding window of `window` consecutive hashes.

@@ -563,19 +563,25 @@ def _gather_rows(
             )
         )
 
+    # ordered=False: gather is a set consumer — the greedy loop re-sorts
+    # deterministically, so prefetch's presentation sort (a global range
+    # exchange) would be executed and thrown away
     cands_df = prefetch(
         db, query_hashes, scaled, ksize=ksize, threshold_bp=threshold_bp,
-        query_md5=query_md5, sig_id=sig_id,
+        query_md5=query_md5, sig_id=sig_id, ordered=False,
     ).select(sig_id, "match_name", "match_md5")
     # No broadcast hint on the candidate set: this strategy exists for the
     # regime where prefetch survivors are too numerous for the driver, so
     # forcing a driver collect here would defeat it.  AQE broadcasts the
     # join automatically whenever the runtime size fits.
+    # Lazy localCheckpoint: materialized by the FIRST action below (the
+    # byte-bound agg or the collect), so the checkpoint costs no extra job
+    # while still guaranteeing the join plan runs exactly once.
     joined = (
         db.select(sig_id, "hashes")
         .join(cands_df, sig_id)
         .select(sig_id, "match_name", "match_md5", "hashes")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     use_cluster = strategy == "cluster"
     if not use_cluster:

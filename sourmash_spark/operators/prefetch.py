@@ -27,11 +27,17 @@ def prefetch(
     query_abundance: bool = False,
     sig_id: str = "sig_id",
     estimate_ani_ci: bool = False,
+    ordered: bool = True,
 ) -> DataFrame:
     """PrefetchResult-shaped DataFrame, ordered by overlap desc
     (column list parity: search.py:367-400; `estimate_ani_ci` appends the
     reference's ci_cols, search.py:393-398, via the Arrow-batched CI
-    estimator in distances.py)."""
+    estimator in distances.py).
+
+    `ordered=False` skips the presentation ORDER BY (a global sort — one
+    range-partitioning exchange): set-consuming callers like gather's
+    candidate sweep re-derive their own deterministic order, so the sort
+    is pure waste there.  Row SET is identical either way."""
     q = F.lit(query_hashes).cast("array<long>")
     size_q = F.lit(len(query_hashes))
     inter = kernels.intersect_size(F.col("hashes"), q)
@@ -87,8 +93,9 @@ def prefetch(
             "max_containment_ani",
             kernels.containment_ani_point(F.col("max_containment"), F.lit(ksize)),
         )
-        .orderBy(F.desc("intersect_hashes"), "match_md5")
     )
+    if ordered:
+        out = out.orderBy(F.desc("intersect_hashes"), "match_md5")
     if estimate_ani_ci:
         from ..distances import with_containment_ani_ci
 

@@ -200,11 +200,16 @@ def gopher_quality(
     Spark's CSE — an unstaged `words(text)` re-splits per reference)."""
     w = docops.words(F.col(text_col))
     lines = F.split(F.col(text_col), "\n")
+    # opaque: the staged arrays must materialize ONCE per row even under a
+    # downstream filter on `passes` — predicate pushdown would otherwise
+    # substitute (and re-evaluate) these HOF trees per reference
     staged = docs.select(
         F.col(id_col),
-        w.alias("_w"),
-        lines.alias("_lines"),
-        F.array_sort(docops.word_ngrams(F.col(text_col), 2)).alias("_g2"),
+        docops.opaque(w).alias("_w"),
+        docops.opaque(lines).alias("_lines"),
+        docops.opaque(
+            F.array_sort(docops.word_ngrams(F.col(text_col), 2))
+        ).alias("_g2"),
     )
     wc = F.col("_w")
     # longest run of equal adjacent elements == max count of any 2-gram

@@ -40,6 +40,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", os.environ.get("SOURMASH_SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffled-hash over sort-merge when the planner's size conditions
+        # hold (guide §3.1): every big equi-join here is an inverted-index
+        # self-join whose sides need no sort order — SMJ pays two large
+        # sorts for nothing.  The AQE threshold additionally rewrites
+        # SMJ->SHJ at runtime per-partition (post-AQE-coalesce partition
+        # sizes, so it is scale-adaptive rather than tuned to one SF).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SOURMASH_SPARK_SHJ_LOCALMAP", "256m"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

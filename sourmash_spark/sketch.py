@@ -185,11 +185,11 @@ def batch_sketch(
 def sketch_md5(hashes_u64: np.ndarray, md5_ksize: int) -> str:
     """Sketch identity: md5 over str(ksize) then each min as a decimal string
     (format parity with the reference's md5sum, minhash.rs:290-307)."""
-    ctx = hashlib.md5()
-    ctx.update(str(md5_ksize).encode())
-    for m in hashes_u64.tolist():
-        ctx.update(str(m).encode())
-    return ctx.hexdigest()
+    # one join + one update: md5 of a concatenation is insensitive to the
+    # update chunking, so this equals the reference's per-min update loop
+    return hashlib.md5(
+        (str(md5_ksize) + "".join(map(str, hashes_u64.tolist()))).encode()
+    ).hexdigest()
 
 
 def sketch_signatures(
