@@ -23,16 +23,22 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(edges, spark=None):
     """Small-graph fast path: collect the edge list (two long columns) and
     run union-find with path compression on the driver.  Legitimate at any
     corpus size where the EDGE list is small — edges are O(duplicate
     pairs), orders of magnitude below the corpus — and mirrors how the
-    reference holds its comparable state driver-side (CounterGather)."""
+    reference holds its comparable state driver-side (CounterGather).
+    Accepts either a DataFrame or an already-collected pandas frame (the
+    threshold probe in connected_components collects exactly once)."""
     import numpy as np
     import pandas as pd
 
-    pdf = edges.toPandas()
+    if isinstance(edges, pd.DataFrame):
+        pdf = edges
+    else:
+        spark = edges.sparkSession
+        pdf = edges.toPandas()
     a = pdf.iloc[:, 0].to_numpy()
     b = pdf.iloc[:, 1].to_numpy()
     verts = np.unique(np.concatenate([a, b]))
@@ -56,9 +62,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             break
     labels = verts[lab]
     out = pd.DataFrame({"sig_id": verts, "cluster_id": labels})
-    return edges.sparkSession.createDataFrame(
-        out, "sig_id long, cluster_id long"
-    )
+    return spark.createDataFrame(out, "sig_id long, cluster_id long")
 
 
 def connected_components(
@@ -84,8 +88,14 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if driver_threshold and e.count() <= driver_threshold:
-        return _driver_union_find(e)
+    if driver_threshold:
+        # ONE action decides the path AND delivers the edges: collect at
+        # most threshold+1 rows — exactly the bound the driver path would
+        # collect anyway — instead of a count job followed by a second
+        # full collect
+        head = e.limit(driver_threshold + 1).toPandas()
+        if len(head) <= driver_threshold:
+            return _driver_union_find(head, spark=edges.sparkSession)
     # undirected: keep both directions for min-label propagation
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=True)

@@ -11,6 +11,10 @@ import pyspark.sql.functions as F
 from . import docops
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+_ASCII_LETTERS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+
 LANG_STOPWORDS = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf"],
@@ -251,7 +255,18 @@ def gopher_quality(
             6,
         ).alias("dup_line_frac"),
         F.round(
-            F.size(F.filter(wc, lambda x: ~x.rlike("[A-Za-z]")))
+            # contains-no-letter via translate-delete: length unchanged
+            # after deleting [A-Za-z] ⟺ no alphabetic char — a char-map
+            # pass instead of a regex engine call per word
+            F.size(
+                F.filter(
+                    wc,
+                    lambda x: F.length(
+                        F.translate(x, _ASCII_LETTERS, "")
+                    )
+                    == F.length(x),
+                )
+            )
             / F.greatest(F.size(wc), F.lit(1)),
             6,
         ).alias("noalpha_frac"),
