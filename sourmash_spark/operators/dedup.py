@@ -739,33 +739,44 @@ def _merge_marked_to_spans(
     marked: DataFrame, L: int, id_col: str
 ) -> DataFrame:
     """(id_col, spans): merge marked window positions [p, p+L-1] into
-    maximal disjoint spans — one shuffle of only the marked rows, the
-    island merge itself a pure-column fold over the sorted positions."""
-    empty_spans = F.array().cast(
-        "array<struct<span_start:long,span_end:long>>"
+    maximal disjoint spans.
+
+    Gaps-and-islands via window functions (ADVICE r5 / VERDICT r5 #3):
+    positions sorted per doc, a new island starts when the position gap
+    exceeds L (window [p, p+L-1] then neither overlaps nor touches the
+    previous span), islands reduce to (min, max+L-1).  Marked positions
+    therefore NEVER concentrate into one per-doc array — the old
+    collect_list + concat/slice fold built an O(marked)-element buffer
+    per doc and did O(marked x spans) array copies, a memory cliff for a
+    mostly-duplicated giant document.  Only the final (small) span
+    structs are collected per doc.  Exchanges: ONE shuffle on id_col —
+    the window's partitioning also satisfies both downstream groupBys
+    (hash(id) clusters (id, island)), so no further exchange.  Duplicate
+    (id, pos) rows are benign (same island, same min/max) — the
+    incremental path relies on that."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    new_island = F.when(
+        prev.isNull() | (F.col("pos") > prev + L), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = marked.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.sum(new_island)
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("_island"),
     )
-    span = lambda s, e: F.struct(  # noqa: E731
-        s.cast("long").alias("span_start"), e.cast("long").alias("span_end")
+    spans = islands.groupBy(id_col, "_island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (L - 1)).cast("long").alias("span_end"),
     )
-    return marked.groupBy(id_col).agg(
-        F.aggregate(
-            F.array_sort(F.collect_list("pos")),
-            empty_spans,
-            # merge window [p, p+L-1] into the last span when it overlaps
-            # or is adjacent (p <= last.span_end + 1; marked positions are
-            # sorted, so only the last span can be affected)
-            lambda acc, p: F.when(
-                (F.size(acc) > 0)
-                & (p <= F.element_at(acc, -1)["span_end"] + 1),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(
-                        span(
-                            F.element_at(acc, -1)["span_start"], p + (L - 1)
-                        )
-                    ),
-                ),
-            ).otherwise(F.concat(acc, F.array(span(p, p + (L - 1))))),
+    return spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
         ).alias("spans")
     )
 
