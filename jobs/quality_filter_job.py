@@ -131,9 +131,12 @@ def main(argv: list[str] | None = None) -> int:
         # it a third time — without this the exact-dedup → gopher →
         # decontaminate chain recomputes ~3x (ADVICE r4)
         docs3 = docs3.localCheckpoint(eager=True)
+        # `seg` feeds the lineage union AND the rewrite join — checkpoint
+        # lazily so the segment plan executes once (same shape as the
+        # substring stage's ADVICE r5 fix)
         seg = dedup_ops.repeated_segment_removal(
             docs3, id_col=idc, text_col=txt, min_df=args.segment_min_df
-        )
+        ).localCheckpoint(eager=False)
         drops.append(
             seg.filter(F.col("n_removed") > 0)
             .select(idc)
@@ -151,10 +154,13 @@ def main(argv: list[str] | None = None) -> int:
         # same multi-read guard as the segment stage: the span marking
         # and the rewrite join both derive from docs3
         docs3 = docs3.localCheckpoint(eager=True)
+        # checkpoint `cut` too (ADVICE r5): it feeds BOTH the lineage
+        # union and the text rewrite join — without this the whole
+        # stride-1 gram-marking plan executes twice at write time
         cut = dedup_ops.exact_substring_removal(
             docs3, min_len=args.substring_min_len, id_col=idc,
             text_col=txt, keep="first",
-        )
+        ).localCheckpoint(eager=False)
         drops.append(
             cut.filter(F.col("n_removed") > 0)
             .select(idc)

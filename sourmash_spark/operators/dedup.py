@@ -976,6 +976,8 @@ def exact_substring_update(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_grams: bool = True,
+    increment_name: str | None = None,
+    out_writer=None,
 ) -> DataFrame:
     """Incremental exact-substring removal for a versioned-ingest corpus:
     process ONE batch of new documents against the gram-key store built by
@@ -1004,6 +1006,16 @@ def exact_substring_update(
     call's write volume is batch-proportional.  On a real deployment the
     store is an Iceberg table and the append is a MERGE; reading is one
     columnar scan of a single 8-byte column.
+
+    COMMIT ORDER (ADVICE r5): the removal output is materialized — via
+    `out_writer(out)` when given (e.g. the streaming sink's
+    batch-addressed write), else an eager localCheckpoint — BEFORE the
+    batch's keys are appended to the store, so a failed/abandoned caller
+    action can no longer leave the store poisoned with its own batch's
+    keys.  Store increments without a `_SUCCESS` marker (a crashed
+    partial append) are ignored on read and safely overwritten.
+    `increment_name` overrides the sequential increment naming so replays
+    of the same batch (streaming at-least-once) target the same path.
     """
     import os
 
@@ -1014,7 +1026,10 @@ def exact_substring_update(
     incs = []
     if os.path.isdir(store_dir):
         incs = sorted(
-            d for d in os.listdir(store_dir) if d.startswith("increment=")
+            d
+            for d in os.listdir(store_dir)
+            if d.startswith("increment=")
+            and os.path.exists(os.path.join(store_dir, d, "_SUCCESS"))
         )
     # explicit schema: an increment whose batch brought nothing novel is
     # an empty parquet dir, which schema inference cannot read
@@ -1056,12 +1071,21 @@ def exact_substring_update(
         text_col,
     )
 
-    # append the batch's NOVEL keys before returning: `out` binds the
-    # pre-write increment list, so the new subdir cannot feed back into
-    # this batch's own marking
+    # 1. commit the removal OUTPUT first (write or eager checkpoint) —
+    # `out` binds the pre-append increment list either way, so the new
+    # subdir cannot feed back into this batch's own marking
+    if out_writer is not None:
+        out_writer(out)
+    else:
+        out = out.localCheckpoint(eager=True)
+
+    # 2. only then append the batch's NOVEL keys to the store; overwrite
+    # makes a replay targeting the same increment_name idempotent
     novel = grams.select("_k").distinct()
     if stored is not None:
         novel = novel.join(stored, "_k", "left_anti")
-    k = len(incs)
-    novel.write.parquet(os.path.join(store_dir, f"increment={k}"))
+    name = increment_name if increment_name is not None else str(len(incs))
+    novel.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"increment={name}")
+    )
     return out

@@ -86,19 +86,30 @@ def pii_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     kinds: tuple[str, ...] = tuple(PII_PATTERNS),
+    patterns: dict[str, tuple[str, str]] | None = None,
 ) -> str:
     """The DuckDB rendering of the identical sequential redaction — the
     cross-engine referee used by tests/test_pii.py (and available to a
-    future driver gate): RE2 replays the same portable patterns."""
+    future driver gate): RE2 replays the same portable patterns.
+    `patterns` overrides/extends PII_PATTERNS exactly like redact_pii's
+    parameter, so deployment-specific rules keep their referee (ADVICE
+    r5); both the pattern AND the replacement token are quote-escaped."""
+    pats = dict(PII_PATTERNS)
+    if patterns:
+        pats.update(patterns)
+    unknown = [k for k in kinds if k not in pats]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}")
     sels = [id_col]
     cur = text_col
     for kind in kinds:
-        pat, token = PII_PATTERNS[kind]
+        pat, token = pats[kind]
         lit = pat.replace("'", "''")
+        tok = token.replace("'", "''")
         sels.append(
             f"CAST(len(regexp_extract_all({cur}, '{lit}')) AS BIGINT)"
             f" AS n_{kind}"
         )
-        cur = f"regexp_replace({cur}, '{lit}', '{token}', 'g')"
+        cur = f"regexp_replace({cur}, '{lit}', '{tok}', 'g')"
     sels.append(f"{cur} AS text_redacted")
     return f"SELECT {', '.join(sels)} FROM {table}"

@@ -174,26 +174,68 @@ def stream_substring_ingest(
 
     Keep-first is what makes a STREAMING exact-substring dedup coherent
     at all: an arriving duplicate is trimmed against the past and the
-    already-emitted past never needs revision (keep-all would).  Same
-    foreachBatch rationale as `stream_ingest`: each batch is a bounded
-    increment against a persistent store, and the streaming checkpoint's
-    exactly-once batch ids make the append idempotent per batch.
+    already-emitted past never needs revision (keep-all would).
+
+    IDEMPOTENCY (ADVICE r5): foreachBatch is AT-LEAST-ONCE — on
+    failure/restart a batch replays — so every batch effect is addressed
+    by batch_id and ordered so replays converge:
+
+    * output goes to `{out_dir}/ingest_batch={batch_id}` with
+      mode("overwrite") (a plain `spark.read.parquet(out_dir)` sees the
+      union, with ingest_batch as a partition column);
+    * the store increment is named `increment=b{batch_id}` and written
+      ONLY AFTER the output commit succeeds
+      (`exact_substring_update(out_writer=..., increment_name=...)`);
+    * a replay of a fully-committed batch (its increment has _SUCCESS)
+      is skipped outright; a replay after a crash BEFORE the store
+      append recomputes against the unchanged store — identical rows —
+      and overwrites both paths.
 
     Returns the StreamingQuery (caller awaits/stops)."""
-    from ..operators.dedup import exact_substring_update
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        out = exact_substring_update(
-            batch_df, store_dir, min_len=min_len,
-            id_col=id_col, text_col=text_col,
-        )
-        out.write.mode("append").parquet(out_dir)
-
+    handle = _substring_batch_handler(
+        store_dir, out_dir, min_len, id_col, text_col
+    )
     return (
         stream_docs.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _substring_batch_handler(
+    store_dir: str,
+    out_dir: str,
+    min_len: int,
+    id_col: str,
+    text_col: str,
+):
+    """The foreachBatch handler of `stream_substring_ingest`, exposed so
+    the at-least-once REPLAY path is directly testable.  NOTE the skip
+    guard keys on batch_id: it protects genuine replays (same checkpoint,
+    same batch content); deleting the checkpoint and reprocessing under
+    reused batch ids is outside the contract, as with any foreachBatch
+    sink."""
+    import os
+
+    from ..operators.dedup import exact_substring_update
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        inc_name = f"b{batch_id:09d}"
+        if os.path.exists(
+            os.path.join(store_dir, f"increment={inc_name}", "_SUCCESS")
+        ):
+            return  # replay of a fully-committed batch
+        if batch_df.isEmpty():
+            return
+        batch_out = os.path.join(out_dir, f"ingest_batch={batch_id}")
+        exact_substring_update(
+            batch_df, store_dir, min_len=min_len,
+            id_col=id_col, text_col=text_col,
+            increment_name=inc_name,
+            out_writer=lambda df: df.write.mode("overwrite").parquet(
+                batch_out
+            ),
+        )
+
+    return handle

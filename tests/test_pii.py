@@ -95,3 +95,22 @@ def test_no_shuffle_map_only_plan(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_oracle_supports_custom_patterns_and_escaped_token(spark):
+    """ADVICE r5: pii_oracle_sql must accept the same `patterns` override
+    as redact_pii (custom kinds previously KeyError'd) and must escape
+    the replacement token, not just the pattern."""
+    custom = {"ticket": (r"\bTKT-[0-9]{6}\b", "<IT'S-GONE>")}
+    kinds = ("email", "ticket")
+    rows = [(0, "mail a@b.io about TKT-123456 and TKT-999999")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = redact_pii(docs, kinds=kinds, patterns=custom).toPandas()
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.sql(
+        pii_oracle_sql(kinds=kinds, patterns=custom)
+    ).df()
+    assert int(got["n_ticket"][0]) == int(want["n_ticket"][0]) == 2
+    assert got["text_redacted"][0] == want["text_redacted"][0]
+    assert "<IT'S-GONE>" in got["text_redacted"][0]

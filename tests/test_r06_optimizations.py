@@ -160,3 +160,54 @@ def test_gopher_filter_does_not_reinline(spark):
     # but must not re-derive them from text (split of the raw column)
     assert "split(lower(text" not in filter_part
     assert "_w#" in filter_part
+
+
+def test_stream_substring_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r5 (high): foreachBatch is at-least-once — replaying a batch
+    whose keys were already appended to the gram store used to mark the
+    whole batch as previously-seen text, cut it to near-empty, and append
+    conflicting duplicate rows.  The batch-addressed handler must make a
+    replay converge to the SAME output."""
+    from sourmash_spark.streaming.watch import _substring_batch_handler
+
+    store = str(tmp_path / "gramstore")
+    out = str(tmp_path / "deduped")
+    phrase = "shared boilerplate phrase with plenty of characters"
+    rows = [
+        (0, f"intro {phrase} middle {phrase} end"),
+        (1, "wholly unique text that has nothing repeated at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    handle = _substring_batch_handler(store, out, 30, "doc_id", "text")
+
+    handle(df, 0)
+    first = {
+        r["doc_id"]: (r["n_removed"], r["text_deduped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # doc 1 is unique: must NOT have been cut
+    assert first[1][0] == 0
+
+    # replay of the fully-committed batch: everything must be unchanged
+    handle(df, 0)
+    again = {
+        r["doc_id"]: (r["n_removed"], r["text_deduped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == first
+    import os
+
+    incs = [d for d in os.listdir(store) if d.startswith("increment=")]
+    assert incs == ["increment=b000000000"]
+
+    # crash-before-store-append replay: wipe the increment (as if the
+    # append never committed) and replay — recomputes identical rows
+    import shutil
+
+    shutil.rmtree(os.path.join(store, "increment=b000000000"))
+    handle(df, 0)
+    redo = {
+        r["doc_id"]: (r["n_removed"], r["text_deduped"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert redo == first
