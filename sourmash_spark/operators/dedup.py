@@ -327,9 +327,22 @@ def simhash_pairs(
     max_hamming: int = 8,
     id_col: str = "doc_id",
     block_pairs: bool = False,
+    shared_exchange: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance (lossless blocking +
     exact bit_count(xor) verification — output identical either way).
+
+    `shared_exchange` (default auto = `not sims.is_cached`): route both
+    self-join sides through ONE explicit repartition on the chunk keys so
+    the physical planner reuses the exchange and the (expensive, per-token
+    md5 + 60-bit-sum) simhash aggregate under it executes ONCE instead of
+    once per join side (guide §2.4).  Measured sf0.1: uncached input
+    5.9 s -> 2.1 s.  For an already-cached `sims` the second scan is
+    nearly free and the extra postings exchange only costs (~ +13%
+    measured), hence the auto heuristic.  The repartition uses an explicit
+    partition count (the session's shuffle partitions) because an
+    AQE-coalesced tiny exchange would also serialize the pair-generation
+    join that reuses it.
 
     `block_pairs=False` (single-chunk pigeonhole): split the 60-bit
     simhash into (max_hamming+1) chunks — two values within `max_hamming`
@@ -401,6 +414,16 @@ def simhash_pairs(
                 "chunk_idx", "chunk_val"
             ),
         )
+    if shared_exchange is None:
+        shared_exchange = not sims.is_cached
+    if shared_exchange:
+        try:
+            nparts = int(
+                sims.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            nparts = sims.sparkSession.sparkContext.defaultParallelism
+        chunks = chunks.repartition(nparts, "chunk_idx", "chunk_val")
     a = chunks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
         "chunk_idx", "chunk_val",
@@ -409,6 +432,37 @@ def simhash_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
         "chunk_idx", "chunk_val",
     )
+    # dedup by construction instead of distinct(): a pair that shares k
+    # chunk keys matches the join k times; keeping only the row whose
+    # joined key is the FIRST key the two simhashes share emits each pair
+    # exactly once, so the distinct exchange (a full shuffle of the
+    # near-dup pair set at scale) disappears (guide §2.4).  The predicate
+    # recomputes the per-key chunk equality from the already-carried
+    # sim_a/sim_b bit columns and runs only on rows that survived the
+    # hamming filter, so it costs a few shifts on the tiny surviving set.
+
+    def _chunk(col, i):
+        return F.shiftrightunsigned(col, offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    if block_pairs:
+        shared = [
+            (
+                i * n_chunks + j,
+                (_chunk(F.col("sim_a"), i) == _chunk(F.col("sim_b"), i))
+                & (_chunk(F.col("sim_a"), j) == _chunk(F.col("sim_b"), j)),
+            )
+            for i in range(n_chunks)
+            for j in range(i + 1, n_chunks)
+        ]
+    else:
+        shared = [
+            (i, _chunk(F.col("sim_a"), i) == _chunk(F.col("sim_b"), i))
+            for i in range(n_chunks)
+        ]
+    firsts = [F.when(eq, F.lit(k)) for k, eq in shared]
+    first_shared = firsts[0] if len(firsts) == 1 else F.least(*firsts)
     return (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -416,11 +470,11 @@ def simhash_pairs(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
         )
-        # filter BEFORE the dedup shuffle: hamming is a cheap per-row
-        # expression, distinct() is the expensive exchange
+        # hamming first: it is the selective predicate; the first-shared
+        # dedup then runs on the survivors only
         .filter(F.col("hamming") <= max_hamming)
+        .filter(first_shared == F.col("chunk_idx"))
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
 
 

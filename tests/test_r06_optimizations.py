@@ -211,3 +211,50 @@ def test_stream_substring_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert redo == first
+
+
+def test_simhash_pairs_dedup_by_construction(spark):
+    """The distinct() exchange was replaced by first-shared-chunk
+    filtering: a pair matching the chunk join k times must be emitted
+    exactly once, for BOTH blocking modes, with the same row set a
+    distinct() would produce.  Planted values share MANY chunks (small
+    hamming distances) so the multi-match path is actually exercised."""
+    import random
+
+    rng = random.Random(23)
+    base = rng.getrandbits(60)
+
+    def flip(v, nbits, seed):
+        r = random.Random(seed)
+        for b in r.sample(range(60), nbits):
+            v ^= 1 << b
+        return v
+
+    # distances 1..6: pairs share most of their 13 chunks -> k-way join
+    # matches; plus random far rows
+    rows = [(0, base, 5)] + [
+        (i, flip(base, i, 40 + i), 5) for i in range(1, 7)
+    ] + [(200 + i, rng.getrandbits(60), 5) for i in range(30)]
+    sims = spark.createDataFrame(
+        rows, "doc_id long, simhash long, n_toks long"
+    )
+    for bp in (False, True):
+        out = dedup_ops.simhash_pairs(sims, max_hamming=12, block_pairs=bp)
+        got = [tuple(r) for r in out.collect()]
+        # exactly once per qualifying pair: list == set == distinct
+        assert len(got) == len(set(got)), bp
+        assert sorted(got) == sorted(
+            tuple(r) for r in out.distinct().collect()
+        ), bp
+    vals = {r[0]: r[1] for r in rows}
+    want = {
+        (i, j, bin(vals[i] ^ vals[j]).count("1"))
+        for i in vals
+        for j in vals
+        if i < j and bin(vals[i] ^ vals[j]).count("1") <= 12
+    }
+    got_single = {
+        tuple(r)
+        for r in dedup_ops.simhash_pairs(sims, max_hamming=12).collect()
+    }
+    assert got_single == want
