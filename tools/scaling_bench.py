@@ -59,6 +59,10 @@ def run_once(cores: int, corpus_path: str, n_files: int) -> dict:
     P = SketchParams(ksize=21, scaled=50)
     L = LSHParams(num_bands=16, band_size=2)
 
+    from bench import host_calibration as _hc
+
+    cal_before = _hc()
+
     spark = get_spark(
         f"scaling_{cores}", master=f"local[{cores}]", shuffle_partitions=cores,
         # a single local parquet file must still read as many splits —
@@ -106,9 +110,10 @@ def run_once(cores: int, corpus_path: str, n_files: int) -> dict:
         pipeline_wall = min(pipeline_wall, time.time() - t0)
         sigs.unpersist()
     spark.stop()
-    # host-speed probe (same kernel as bench.host_calibration): records
-    # how steal-slowed THIS level's window was, so two-level efficiency
-    # can be read next to the host speed at each level
+    # host-speed probes (same kernel as bench.host_calibration) BRACKET
+    # the level: `cal_before` ran before the session came up (see below),
+    # this one after the timed work — so acceptance can reject a level
+    # whose window was steal-slowed on either side
     from bench import host_calibration
 
     res = {
@@ -116,7 +121,10 @@ def run_once(cores: int, corpus_path: str, n_files: int) -> dict:
         "sketch_wall_sec": round(sketch_wall, 2),
         "sketch_sigs_per_sec": round(n_files / sketch_wall, 1),
         "n_clusters": n_clusters,
-        "host_calibration_sec": host_calibration(),
+        "host_calibration_sec": {
+            "before": cal_before,
+            "after": host_calibration(),
+        },
     }
     if pipeline_reps:
         res["pipeline_wall_sec"] = round(pipeline_wall, 2)
@@ -187,9 +195,55 @@ def main() -> None:
             best["pipeline_files_per_sec"] = res["pipeline_files_per_sec"]
         return best
 
+    # calibration acceptance (VERDICT r5 #1): with SCALE_CAL_MAX set, a
+    # level run only contributes to the two-level ratio when BOTH of its
+    # bracketing host probes read at or below the threshold (~2x the
+    # clean floor of 0.52-0.65 s -> default suggestion 1.3); steal-slowed
+    # windows are retried up to SCALE_CAL_RETRIES times and recorded
+    # (rejected walls never silently flatter or deflate the ratio)
+    cal_max = float(os.environ.get("SCALE_CAL_MAX", "0") or 0)
+    cal_retries = int(os.environ.get("SCALE_CAL_RETRIES", "3"))
+    rejected: list[dict] = []
+
+    def cal_ok(res: dict) -> bool:
+        cal = res.get("host_calibration_sec") or {}
+        vals = [v for v in (cal.get("before"), cal.get("after"))
+                if v is not None]
+        return bool(vals) and max(vals) <= cal_max
+
+    def run_level_accepted(cores: int) -> dict | None:
+        for _ in range(cal_retries if cal_max else 1):
+            res = run_level(cores, corpus_path, n_files)
+            if not cal_max or cal_ok(res):
+                return res
+            rejected.append(
+                {"cores": cores,
+                 "host_calibration_sec": res.get("host_calibration_sec"),
+                 "sketch_wall_sec": res.get("sketch_wall_sec"),
+                 "pipeline_wall_sec": res.get("pipeline_wall_sec")}
+            )
+        return None
+
+    n_acc = {N_SMALL: 0, N_BIG: 0}
     for _ in range(rounds):
-        small = merge(small, run_level(N_SMALL, corpus_path, n_files))
-        big = merge(big, run_level(N_BIG, corpus_path, n_files))
+        for cores in (N_SMALL, N_BIG):
+            res = run_level_accepted(cores)
+            if res is not None:
+                n_acc[cores] += 1
+                if cores == N_SMALL:
+                    small = merge(small, res)
+                else:
+                    big = merge(big, res)
+    calibration_accepted = (not cal_max) or (
+        n_acc[N_SMALL] > 0 and n_acc[N_BIG] > 0
+    )
+    if not small or not big:
+        sys.exit(
+            f"no calibration-accepted runs at one level "
+            f"(accepted small={n_acc[N_SMALL]} big={n_acc[N_BIG]}, "
+            f"{len(rejected)} rejected; cal_max={cal_max}) — "
+            "no ratio to report"
+        )
     eff_sketch = round(
         big["sketch_sigs_per_sec"] / (4 * small["sketch_sigs_per_sec"]), 3
     )
@@ -203,6 +257,12 @@ def main() -> None:
         "big": big,
         "scaling_efficiency_sketch": eff_sketch,
         "scaling_efficiency_pipeline": eff_pipeline,
+        "calibration": {
+            "cal_max_sec": cal_max or None,
+            "accepted_runs": {"small": n_acc[N_SMALL], "big": n_acc[N_BIG]},
+            "rejected_runs": rejected,
+            "accepted": calibration_accepted,
+        },
     }
     print(json.dumps(result))
 
@@ -222,11 +282,12 @@ def main() -> None:
             f, indent=1, sort_keys=True,
         )
         f.write("\n")
-    if sketch_only or os.environ.get("SCALE_NO_MD"):
+    if sketch_only or os.environ.get("SCALE_NO_MD") or not calibration_accepted:
         # BASELINE.md's headline table is the full-pipeline protocol;
         # sketch-only runs are cited from their SCALE_OUT json instead,
-        # and SCALE_NO_MD lets exploratory runs record a json without
-        # rewriting the headline (e.g. when notes narrate a specific run)
+        # SCALE_NO_MD lets exploratory runs record a json without
+        # rewriting the headline (e.g. when notes narrate a specific run),
+        # and a calibration-rejected run must never become the headline
         return
     section = (f"""# BENCH/BASELINE — scaling evidence (north rule)
 
