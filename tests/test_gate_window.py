@@ -1,6 +1,7 @@
 """Driver gate-window invariants: the external correctness driver records
 only the FIRST 50 registered gates, so registration order is part of the
-witnessing contract (ADVICE r3)."""
+witnessing contract (ADVICE r3).  Rewritten per round for the current
+rotation slice (COVERAGE.md "Gate rotation")."""
 
 from __future__ import annotations
 
@@ -8,49 +9,63 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-R5_NEW_OR_CHANGED = [
-    # gates over code paths added or changed in r5 — MUST be driver-visible
-    "gather_cluster_murmur",      # new: cluster-side per-round gather
-    "sketch_dna_stats",           # new: canonical-DNA batched-N gate
-    "stream_ingest_edges",        # new: streaming-ingest == batch edges
-    "gather_greedy_murmur",       # gather.py tie-break refactor
+R6_NEW_OR_CHANGED = [
+    # gates over code paths added or changed in r6 — MUST be driver-visible
+    "pii_redaction",              # new: planted-PII redaction gate
+    # gather.py counts-under-subtraction greedy + prefetch ordered=False
+    "gather_greedy_murmur",
+    "gather_cluster_murmur",
     "gather_weighted_murmur",
     "gather_unassigned_murmur",
     "multigather_murmur",
     "multigather_weighted_murmur",
-    "mh_compare_pairs",           # compare.py cap_postings NULL-key fix
-    "compare_murmur_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_capped",
-    "mix_pack_sequences",         # mix.py integer-div pack_id
-    "ann_ivf_topk",               # ann.py reseed refactor neighborhood
-    # late-r5 perf work: tax.py single-pass rollup, lsh.py verify_pairs
-    # size-bound prune, cluster.py vectorized driver union-find
+    "tax_annotate_murmur",
     "tax_metagenome_murmur",
     "tax_genome_murmur",
-    "tax_annotate_murmur",
-    "lsh_band_keys",
-    "lsh_candidates60",
+    "prefetch_murmur",
+    # compare.py pair agg: sizes in the group key
+    "mh_compare_pairs",
+    "compare_murmur_pairs",
+    "mh_containment_pairs",
+    "mh_compare_mixed_scaled",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    # dedup.py: window substring marking + island merge; simhash_pairs
+    # first-shared-chunk dedup + shared exchange
+    "dedup_substring_pairs",
+    "dedup_substring_spans",
+    "dedup_substring_exact",
+    "dedup_substring_cut",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "simhash_blockpairs",
+    # cluster.py one-action CC probe
     "cc_clusters",
     "pipeline_clusters_murmur",
     "pipeline_representatives_murmur",
+    # ann.py numpy batch paths
+    "emb_neardup_lsh",
+    "emb_semantic_dedup",
+    # sketch.py vectorized sketch_md5 (md5 rides every sketch gate)
+    "sketch_murmur_stats",
+    "mh_sketch_stats",
+    "sketch_dna_stats",
+    # text.py gopher single-projection + docops.opaque
+    "text_gopher_quality",
+    # streaming replay safety neighborhood
     "stream_ingest_edges",
-    # late-r5 scale audit: dedup.py exact_dedup_ids (array-free marking)
-    "dedup_exact_marked",
-    "dedup_exact",
-    # late-r5: exact suffix-array-substring semantics (new dedup.py code)
-    "dedup_substring_exact",
-    "dedup_substring_cut",
 ]
 
-# VERDICT r4 #4: every round must rotate >=10 previously-unwitnessed gates
-# into the driver window
-R5_PROMOTED = [
-    "dedup_simhash", "simhash_near_pairs", "simhash_blockpairs",
-    "text_gopher_quality", "text_decontaminate", "text_langid",
-    "hll_pairwise_by_source", "events_windowed", "multimodal_features",
-    "picklist_exclude", "tax_metagenome_murmur", "lca_classify_murmur",
-    "dedup_exact",
+# VERDICT r5 #2: the scheduled r6 rotation slice (plus the three late-r5
+# demotions and the new pii gate) must sit in the first-50 window
+R6_PROMOTED = [
+    "abund_stats", "cardinality_by_source", "hll_approx_by_source",
+    "rel_q1", "rel_topk_join", "manifest_summarize", "sig_grep",
+    "picklist_include", "tax_annotate_murmur", "tax_genome_murmur",
+    "lca_summarize_murmur", "lca_rankinfo_murmur", "text_token_count",
+    "emb_neardup",
+    "prefetch_murmur", "search_murmur", "mh_compare_mixed_scaled",
+    "pii_redaction",
 ]
 
 
@@ -61,27 +76,48 @@ def test_every_gate_has_an_oracle():
     assert set(q) == set(o), set(q) ^ set(o)
 
 
-def test_r5_gates_inside_driver_window():
+def test_r6_gates_inside_driver_window():
     import __spark_entry__ as e
 
     head = list(e.queries())[:50]
-    missing = [g for g in R5_NEW_OR_CHANGED if g not in head]
-    assert not missing, f"gates over r5 code outside the 50-gate window: {missing}"
+    missing = [g for g in R6_NEW_OR_CHANGED if g not in head]
+    assert not missing, f"gates over r6 code outside the 50-gate window: {missing}"
 
 
-def test_r5_rotation_promotes_at_least_ten():
-    """>=10 gates absent from the r4 driver record must now sit in the
-    first-50 window (plus the 3 brand-new r5 gates)."""
+def test_r6_rotation_promotes_at_least_ten():
+    """>=10 gates absent from the r5 driver record must now sit in the
+    first-50 window, and every scheduled promotion landed."""
     import json
 
     import __spark_entry__ as e
 
-    r4 = set(json.load(open("/root/repo/CORRECTNESS_r04.json")))
+    r5 = set(json.load(open("/root/repo/CORRECTNESS_r05.json")))
     head = list(e.queries())[:50]
-    promoted = [g for g in head if g not in r4]
-    assert len(promoted) >= 13, promoted
-    missing = [g for g in R5_PROMOTED if g not in head]
+    promoted = [g for g in head if g not in r5]
+    assert len(promoted) >= 10, promoted
+    missing = [g for g in R6_PROMOTED if g not in head]
     assert not missing, f"scheduled promotions outside the window: {missing}"
+
+
+def test_demoted_gates_were_r5_driver_green():
+    """The tail may hold only gates that the r5 driver witnessed green OR
+    that were already tail in r5 (rotation latency documented in
+    COVERAGE.md); nothing promoted-then-red may hide in the tail."""
+    import json
+
+    import __spark_entry__ as e
+
+    r5 = json.load(open("/root/repo/CORRECTNESS_r05.json"))
+    r5_green = {
+        k for k, v in r5.items()
+        if v.get("rows_match") and v.get("hash_match")
+    }
+    tail = list(e.queries())[50:]
+    # gates newly demoted THIS round (in the r5 driver record) must have
+    # been green there
+    newly_demoted = [g for g in tail if g in r5]
+    not_green = [g for g in newly_demoted if g not in r5_green]
+    assert not not_green, not_green
 
 
 def test_rotation_is_stable():
